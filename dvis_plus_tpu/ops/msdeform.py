@@ -1,0 +1,121 @@
+"""Multi-scale deformable attention core op (TPU-native).
+
+Numerical spec: the reference's pure-PyTorch oracle
+``ms_deform_attn_core_pytorch`` (reference
+``DVIS_Plus/mask2former/modeling/pixel_decoder/ops/functions/ms_deform_attn_func.py:52-72``),
+which is ``F.grid_sample(mode='bilinear', padding_mode='zeros',
+align_corners=False)`` per level, weighted by softmaxed attention weights and
+summed over (level, point). The reference's CUDA kernel
+(``ms_deform_im2col_cuda.cuh``) implements the same math; here the forward is a
+vectorized 4-corner gather that XLA lowers to TPU gather ops, and the backward
+comes from JAX autodiff (exact, matching the CUDA col2im analytically).
+
+Layouts are chosen TPU-first: the head dim stays last (lane dim = channels),
+gathers are batched along the flattened spatial axis.
+
+Shapes (matching the reference API):
+  value:              (B, Len_in, n_heads, d_head)
+  spatial_shapes:     static tuple ((H_0,W_0), ..., (H_{L-1},W_{L-1})),
+                      sum(H_l*W_l) == Len_in
+  sampling_locations: (B, Len_q, n_heads, n_levels, n_points, 2) in [0,1] (x,y)
+  attention_weights:  (B, Len_q, n_heads, n_levels, n_points), softmaxed over
+                      the flattened (level, point) axis by the caller
+  returns:            (B, Len_q, n_heads * d_head)
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather_level(
+    value_l: jnp.ndarray,  # (B, H*W, M, D)
+    H: int,
+    W: int,
+    loc: jnp.ndarray,  # (B, Lq, M, P, 2) in [0,1]
+) -> jnp.ndarray:
+    """grid_sample(align_corners=False, padding_mode='zeros') on one level.
+
+    Returns (B, Lq, M, P, D).
+    """
+    B, _, M, D = value_l.shape
+    Lq, P = loc.shape[1], loc.shape[3]
+
+    # align_corners=False: pixel-center coords
+    x = loc[..., 0] * W - 0.5  # (B, Lq, M, P)
+    y = loc[..., 1] * H - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    # corner weights
+    wx1 = x - x0  # weight of x1
+    wx0 = 1.0 - wx1
+    wy1 = y - y0
+    wy0 = 1.0 - wy1
+
+    x0i = x0.astype(jnp.int32)
+    x1i = x1.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    y1i = y1.astype(jnp.int32)
+
+    # value as (B, M, H*W, D) for take_along_axis over the spatial axis
+    v = jnp.swapaxes(value_l, 1, 2)  # (B, M, H*W, D)
+
+    def corner(yi, xi, wy, wx):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)  # (B, Lq, M, P)
+        # -> (B, M, Lq*P, 1)
+        idx_b = jnp.swapaxes(idx, 1, 2).reshape(B, M, Lq * P, 1)
+        g = jnp.take_along_axis(v, idx_b, axis=2)  # (B, M, Lq*P, D)
+        g = g.reshape(B, M, Lq, P, D).transpose(0, 2, 1, 3, 4)  # (B, Lq, M, P, D)
+        w = (wy * wx * valid.astype(value_l.dtype))[..., None]  # (B, Lq, M, P, 1)
+        return g * w
+
+    out = (
+        corner(y0i, x0i, wy0, wx0)
+        + corner(y0i, x1i, wy0, wx1)
+        + corner(y1i, x0i, wy1, wx0)
+        + corner(y1i, x1i, wy1, wx1)
+    )
+    return out
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Multi-scale deformable attention forward (differentiable).
+
+    See module docstring for shapes. ``spatial_shapes`` must be a static
+    (python) sequence so every level keeps a static shape under jit.
+    """
+    B, Len_in, M, D = value.shape
+    Lq = sampling_locations.shape[1]
+    L = len(spatial_shapes)
+    P = sampling_locations.shape[4]
+    assert sampling_locations.shape == (B, Lq, M, L, P, 2), sampling_locations.shape
+    assert attention_weights.shape == (B, Lq, M, L, P)
+    assert sum(h * w for h, w in spatial_shapes) == Len_in
+
+    splits = []
+    start = 0
+    for (H, W) in spatial_shapes:
+        splits.append((start, H, W))
+        start += H * W
+
+    out = jnp.zeros((B, Lq, M, D), dtype=value.dtype)
+    for lid, (start, H, W) in enumerate(splits):
+        value_l = jax.lax.dynamic_slice_in_dim(value, start, H * W, axis=1)
+        loc_l = sampling_locations[:, :, :, lid]  # (B, Lq, M, P, 2)
+        sampled = _bilinear_gather_level(value_l, H, W, loc_l)  # (B, Lq, M, P, D)
+        w_l = attention_weights[:, :, :, lid][..., None]  # (B, Lq, M, P, 1)
+        out = out + jnp.sum(sampled * w_l, axis=3)
+
+    return out.reshape(B, Lq, M * D)
