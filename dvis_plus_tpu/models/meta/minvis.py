@@ -1,0 +1,144 @@
+"""MinVIS meta-architecture: frame-independent segmenter + post-hoc query
+matching on embeddings.
+
+Re-designs reference ``MinVIS`` (``DVIS_Plus/dvis_Plus/meta_architecture.py:23-401``):
+
+- training (:199-215 + frame_decoder_loss_reshape :233-253): every frame is an
+  independent matching/loss problem — frames fold into the batch dim and the
+  criterion runs with T=1 clips; all clip instances (present or absent) are
+  candidates in every frame, exactly like the reference's per-frame target
+  dicts.
+- inference post-processing (:266-301): frame-by-frame Hungarian alignment on
+  cosine similarity of query embeddings (match_from_embds :255-264), aligning
+  every frame to the previous one, then mean class logits over frames. Here
+  it is a jitted ``lax.scan`` with the in-graph Hungarian — no host round
+  trips (the reference crosses to scipy per frame).
+- ``inference_video`` (:364-401): softmax scores w/o background, flat top-K
+  over (Q x K) pairs, masks resized and thresholded at 0.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dvis_plus_tpu.losses.criterion import CriterionConfig, LayerOutputs, video_criterion
+from dvis_plus_tpu.losses.targets import VideoTargets
+from dvis_plus_tpu.ops.hungarian import hungarian
+
+
+def frame_fold_targets(targets: VideoTargets) -> VideoTargets:
+    """(B, N, T, ...) clip targets -> (B*T, N, 1, ...) per-frame targets.
+
+    Mirrors frame_decoder_loss_reshape (:243-253): labels/valid are clip-level
+    (absent instances still match with empty masks).
+    """
+    B, N, T = targets.frame_valid.shape
+    masks = jnp.swapaxes(targets.masks, 1, 2).reshape(B * T, N, 1, *targets.masks.shape[-2:])
+    labels = jnp.repeat(targets.labels, T, axis=0)
+    valid = jnp.repeat(targets.valid, T, axis=0)
+    frame_valid = jnp.swapaxes(targets.frame_valid, 1, 2).reshape(B * T, N, 1)
+    return VideoTargets(labels=labels, masks=masks, valid=valid, frame_valid=frame_valid)
+
+
+def minvis_train_loss(
+    rng: jax.Array,
+    decoder_out: Dict[str, jnp.ndarray],  # per-frame dict from the segmenter
+    targets: VideoTargets,
+    cfg: CriterionConfig,
+    num_masks: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Per-frame matching + losses. decoder_out tensors lead with BT."""
+    ft = frame_fold_targets(targets)
+    # num_masks follows the reference: #instances x #frames entries... actually
+    # the reference counts len(labels) per frame-target, i.e. N_real per frame
+    if num_masks is None:
+        num_masks = jnp.maximum(ft.num_instances().sum().astype(jnp.float32), 1.0)
+
+    def to_layer(lg, mk):
+        return LayerOutputs(pred_logits=lg, pred_masks=mk[:, :, None])
+
+    outputs = to_layer(decoder_out["pred_logits"], decoder_out["pred_masks"])
+    aux = [
+        to_layer(lg, mk)
+        for lg, mk in zip(decoder_out["aux_pred_logits"], decoder_out["aux_pred_masks"])
+    ]
+    losses, _ = video_criterion(rng, outputs, aux, ft, cfg, num_masks=num_masks)
+    return losses
+
+
+def match_from_embds(tgt_embds: jnp.ndarray, cur_embds: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-cost Hungarian permutation aligning current queries to targets.
+
+    Returns indices such that ``cur[indices]`` aligns with ``tgt``
+    (reference match_from_embds :255-264 — scipy on (1 - cos_sim)^T, here the
+    in-graph solver on the same cost).
+    """
+    cur = cur_embds / (jnp.linalg.norm(cur_embds, axis=1, keepdims=True) + 1e-12)
+    tgt = tgt_embds / (jnp.linalg.norm(tgt_embds, axis=1, keepdims=True) + 1e-12)
+    cost = 1.0 - tgt @ cur.T  # (Q_tgt, Q_cur)
+    q4row, _ = hungarian(cost)  # row t -> current query index
+    return q4row
+
+
+def minvis_post_processing(
+    pred_logits: jnp.ndarray,  # (T, Q, K+1)
+    pred_masks: jnp.ndarray,  # (T, Q, H, W)
+    pred_embds: jnp.ndarray,  # (T, Q, C)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frame-by-frame embedding alignment; returns (mean logits (Q, K+1),
+    aligned masks (Q, T, H, W))."""
+
+    def step(carry, xs):
+        prev_embds = carry
+        logits, masks, embds = xs
+        idx = match_from_embds(prev_embds, embds)
+        return embds[idx], (logits[idx], masks[idx])
+
+    init = pred_embds[0]
+    _, (logits_rest, masks_rest) = jax.lax.scan(
+        step,
+        init,
+        (pred_logits[1:], pred_masks[1:], pred_embds[1:]),
+    )
+    logits_all = jnp.concatenate([pred_logits[:1], logits_rest], axis=0)
+    masks_all = jnp.concatenate([pred_masks[:1], masks_rest], axis=0)
+    return logits_all.mean(axis=0), jnp.swapaxes(masks_all, 0, 1)
+
+
+class VideoInference(NamedTuple):
+    scores: jnp.ndarray  # (topk,)
+    labels: jnp.ndarray  # (topk,)
+    masks: jnp.ndarray  # (topk, T, H_out, W_out) bool
+
+
+def inference_video(
+    mask_cls: jnp.ndarray,  # (Q, K+1)
+    mask_pred: jnp.ndarray,  # (Q, T, H4, W4)
+    img_size: Tuple[int, int],  # valid region within padded canvas (model scale)
+    output_size: Tuple[int, int],  # original video resolution
+    padded_size: Tuple[int, int],  # padded model input resolution
+    topk: int = 10,
+) -> VideoInference:
+    """Top-K instance extraction + two-stage mask upsampling (reference
+    inference_video :364-401: resize to padded input, crop valid region,
+    resize to original resolution, threshold at 0)."""
+    Q, K1 = mask_cls.shape
+    K = K1 - 1
+    scores = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)[:, :-1]  # (Q, K)
+    flat = scores.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat, topk)
+    top_labels = top_idx % K
+    top_queries = top_idx // K
+    masks = mask_pred[top_queries].astype(jnp.float32)  # (topk, T, H4, W4)
+
+    T = masks.shape[1]
+    masks = jax.image.resize(
+        masks, (topk, T, padded_size[0], padded_size[1]), method="bilinear"
+    )
+    masks = masks[:, :, : img_size[0], : img_size[1]]
+    masks = jax.image.resize(
+        masks, (topk, T, output_size[0], output_size[1]), method="bilinear"
+    )
+    return VideoInference(scores=top_scores, labels=top_labels, masks=masks > 0.0)

@@ -1,0 +1,219 @@
+"""MSDeformAttn pixel decoder: multi-scale deformable-attention encoder over
+{res3,res4,res5} + FPN fusion down to stride-4 mask features.
+
+Re-designs the reference ``MSDeformAttnPixelDecoder``
+(``DVIS_Plus/mask2former/modeling/pixel_decoder/msdeformattn.py:164-358``) and
+the ``MSDeformAttn`` module (``ops/modules/ms_deform_attn.py:34-125``):
+
+- the CUDA im2col kernel is replaced by the batched-gather op in
+  :mod:`dvis_plus_tpu.ops.msdeform` (XLA) — Pallas variant slots in behind the
+  same call;
+- all tensors NHWC, static shapes; no padding masks (valid_ratios == 1);
+- the whole decoder is an fp32 island, matching the reference's
+  ``@autocast(enabled=False)`` on ``forward_features`` (:314);
+- sampling-offset init replicates the reference's polar grid bias
+  (:66-80 in ms_deform_attn.py) — it matters for training stability.
+
+Outputs: ``mask_features`` (stride 4, mask_dim), plus the 3 multi-scale
+transformer features (stride 32, 16, 8) for the query decoder.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dvis_plus_tpu.ops.msdeform import ms_deform_attn
+from dvis_plus_tpu.models.segmenter.position_encoding import position_embedding_sine_2d
+
+
+def _offset_grid_bias_init(n_heads: int, n_levels: int, n_points: int):
+    """Polar-grid bias for sampling offsets (ms_deform_attn.py:66-74)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        thetas = jnp.arange(n_heads, dtype=jnp.float32) * (2.0 * math.pi / n_heads)
+        grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], axis=-1)  # (H, 2)
+        grid = grid / jnp.abs(grid).max(axis=-1, keepdims=True)
+        grid = jnp.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+        scale = jnp.arange(1, n_points + 1, dtype=jnp.float32)[None, None, :, None]
+        grid = grid * scale
+        return grid.reshape(-1).astype(dtype)
+
+    return init
+
+
+class MSDeformAttnLayer(nn.Module):
+    """One deformable self-attention + FFN encoder layer (msdeformattn.py:92-131)."""
+
+    d_model: int = 256
+    d_ffn: int = 1024
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jnp.ndarray,  # (B, Len, C)
+        pos: jnp.ndarray,  # (Len, C)
+        reference_points: jnp.ndarray,  # (Len, n_levels, 2) in [0,1]
+        spatial_shapes: Sequence[Tuple[int, int]],
+    ) -> jnp.ndarray:
+        B, Len, C = src.shape
+        H = self.n_heads
+        q = src + pos[None]
+
+        value = nn.Dense(self.d_model, name="value_proj")(src)
+        value = value.reshape(B, Len, H, self.d_model // H)
+        offsets = nn.Dense(
+            H * self.n_levels * self.n_points * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_offset_grid_bias_init(H, self.n_levels, self.n_points),
+            name="sampling_offsets",
+        )(q).reshape(B, Len, H, self.n_levels, self.n_points, 2)
+        attn = nn.Dense(
+            H * self.n_levels * self.n_points,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(q).reshape(B, Len, H, self.n_levels * self.n_points)
+        attn = jax.nn.softmax(attn, axis=-1).reshape(
+            B, Len, H, self.n_levels, self.n_points
+        )
+
+        normalizer = jnp.asarray(
+            [[w, h] for (h, w) in spatial_shapes], jnp.float32
+        )  # (L, 2) as (W, H)
+        locations = (
+            reference_points[None, :, None, :, None, :]
+            + offsets / normalizer[None, None, None, :, None, :]
+        )
+        out = ms_deform_attn(value, spatial_shapes, locations, attn)
+        out = nn.Dense(self.d_model, name="output_proj")(out)
+
+        src = nn.LayerNorm(name="norm1")(src + out)
+        ffn = nn.Dense(self.d_ffn, name="linear1")(src)
+        ffn = nn.relu(ffn)
+        ffn = nn.Dense(self.d_model, name="linear2")(ffn)
+        src = nn.LayerNorm(name="norm2")(src + ffn)
+        return src
+
+
+def _reference_points(spatial_shapes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+    """(Len, n_levels, 2) pixel-center reference points, broadcast to levels
+    (msdeformattn.py:141-153 with valid_ratios == 1)."""
+    refs = []
+    for (Hl, Wl) in spatial_shapes:
+        ry = (jnp.arange(Hl, dtype=jnp.float32) + 0.5) / Hl
+        rx = (jnp.arange(Wl, dtype=jnp.float32) + 0.5) / Wl
+        gy, gx = jnp.meshgrid(ry, rx, indexing="ij")
+        refs.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
+    ref = jnp.concatenate(refs, axis=0)  # (Len, 2)
+    return jnp.broadcast_to(ref[:, None, :], (ref.shape[0], len(spatial_shapes), 2))
+
+
+class GroupNormConv(nn.Module):
+    """1x1/3x3 conv + GroupNorm(32) (+ optional relu), matching d2 Conv2d+GN."""
+
+    features: int
+    kernel: int = 1
+    relu: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.kernel // 2
+        y = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=False,
+            name="conv",
+        )(x)
+        y = nn.GroupNorm(num_groups=32, name="norm")(y)
+        return nn.relu(y) if self.relu else y
+
+
+class MSDeformAttnPixelDecoder(nn.Module):
+    """Inputs: dict res2..res5 NHWC. Output: (mask_features, multi_scale)."""
+
+    conv_dim: int = 256
+    mask_dim: int = 256
+    num_enc_layers: int = 6
+    n_heads: int = 8
+    d_ffn: int = 1024
+    n_points: int = 4
+    transformer_in_features: Tuple[str, ...] = ("res3", "res4", "res5")
+
+    @nn.compact
+    def __call__(
+        self, features: Dict[str, jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        in_dtype = features["res2"].dtype
+        # fp32 island
+        features = {k: v.astype(jnp.float32) for k, v in features.items()}
+
+        # transformer levels, top-down order (res5, res4, res3)
+        levels = list(self.transformer_in_features)[::-1]
+        srcs, poss, spatial_shapes = [], [], []
+        for i, name in enumerate(levels):
+            x = features[name]
+            B, Hl, Wl, _ = x.shape
+            proj = nn.Conv(self.conv_dim, (1, 1), name=f"input_proj_{i}_conv")(x)
+            proj = nn.GroupNorm(num_groups=32, name=f"input_proj_{i}_norm")(proj)
+            srcs.append(proj.reshape(B, Hl * Wl, self.conv_dim))
+            pe = position_embedding_sine_2d(Hl, Wl, self.conv_dim // 2)
+            poss.append(pe.reshape(Hl * Wl, self.conv_dim))
+            spatial_shapes.append((Hl, Wl))
+
+        level_embed = self.param(
+            "level_embed",
+            nn.initializers.normal(stddev=1.0),
+            (len(levels), self.conv_dim),
+        )
+        src = jnp.concatenate(srcs, axis=1)
+        pos = jnp.concatenate(
+            [p + level_embed[i][None] for i, p in enumerate(poss)], axis=0
+        )
+        refs = _reference_points(spatial_shapes)
+
+        for li in range(self.num_enc_layers):
+            src = MSDeformAttnLayer(
+                d_model=self.conv_dim,
+                d_ffn=self.d_ffn,
+                n_levels=len(levels),
+                n_heads=self.n_heads,
+                n_points=self.n_points,
+                name=f"encoder_layer_{li}",
+            )(src, pos, refs, spatial_shapes)
+
+        # split back to maps (top-down order: stride 32, 16, 8)
+        out_maps = []
+        start = 0
+        B = src.shape[0]
+        for (Hl, Wl) in spatial_shapes:
+            out_maps.append(
+                jax.lax.dynamic_slice_in_dim(src, start, Hl * Wl, axis=1).reshape(
+                    B, Hl, Wl, self.conv_dim
+                )
+            )
+            start += Hl * Wl
+
+        # FPN fusion onto res2 (stride 4); nearest per FPN convention is
+        # bilinear in the reference (:349)
+        x2 = features["res2"]
+        lateral = GroupNormConv(self.conv_dim, kernel=1, name="adapter_1")(x2)
+        top = out_maps[-1]  # stride 8
+        top_up = jax.image.resize(
+            top, (B, x2.shape[1], x2.shape[2], self.conv_dim), method="bilinear"
+        )
+        y = GroupNormConv(self.conv_dim, kernel=3, relu=True, name="layer_1")(
+            lateral + top_up
+        )
+        mask_features = nn.Conv(self.mask_dim, (1, 1), name="mask_features")(y)
+
+        multi_scale = [m.astype(in_dtype) for m in out_maps[:3]]
+        return mask_features, multi_scale

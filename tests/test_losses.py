@@ -1,0 +1,119 @@
+"""Matcher + criterion semantics on small synthetic clips."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvis_plus_tpu.losses.criterion import CriterionConfig, LayerOutputs, video_criterion
+from dvis_plus_tpu.losses.matcher import MatchCosts, consistent_match, video_hungarian_match
+from dvis_plus_tpu.losses.targets import VideoTargets
+
+B, Q, N, T, H, W, K = 2, 8, 4, 3, 16, 16, 5
+
+
+def make_scene(seed=0, n_real=3):
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, K, size=(B, N)).astype(np.int32)
+    masks = np.zeros((B, N, T, H, W), np.float32)
+    frame_valid = np.zeros((B, N, T), bool)
+    for b in range(B):
+        for n in range(n_real):
+            y, x = rng.randint(0, H - 6), rng.randint(0, W - 6)
+            for t in range(T):
+                present = not (n == 1 and t == 0)  # instance 1 appears at t=1
+                if present:
+                    masks[b, n, t, y : y + 6, x : x + 6 - n] = 1.0
+                    frame_valid[b, n, t] = True
+    valid = frame_valid.any(-1)
+    return VideoTargets(
+        labels=jnp.asarray(labels),
+        masks=jnp.asarray(masks),
+        valid=jnp.asarray(valid),
+        frame_valid=jnp.asarray(frame_valid),
+    )
+
+
+def perfect_outputs(targets, perm):
+    """Place GT instance n's mask/class at query perm[n]; rest background."""
+    logits = np.full((B, Q, K + 1), -8.0, np.float32)
+    logits[..., K] = 8.0  # background default
+    masks = np.full((B, Q, T, H, W), -8.0, np.float32)
+    t_masks = np.asarray(targets.masks)
+    t_labels = np.asarray(targets.labels)
+    for b in range(B):
+        for n in range(N):
+            if not bool(targets.valid[b, n]):
+                continue
+            q = perm[n]
+            logits[b, q] = -8.0
+            logits[b, q, t_labels[b, n]] = 8.0
+            masks[b, q] = np.where(t_masks[b, n] > 0.5, 8.0, -8.0)
+    return LayerOutputs(pred_logits=jnp.asarray(logits), pred_masks=jnp.asarray(masks))
+
+
+def test_clip_match_recovers_permutation():
+    targets = make_scene()
+    perm = [5, 2, 7, 0]
+    outputs = perfect_outputs(targets, perm)
+    q4g = video_hungarian_match(
+        jax.random.key(0), outputs.pred_logits, outputs.pred_masks, targets,
+        MatchCosts(num_points=512),
+    )
+    q4g = np.asarray(q4g)
+    for b in range(B):
+        for n in range(N):
+            if bool(targets.valid[b, n]):
+                assert q4g[b, n] == perm[n], (b, n, q4g[b])
+
+
+def test_consistent_match_recovers_permutation():
+    targets = make_scene()
+    perm = [1, 6, 3, 0]
+    outputs = perfect_outputs(targets, perm)
+    # per-frame logits: broadcast clip logits over T
+    logits_t = jnp.broadcast_to(
+        outputs.pred_logits[:, None], (B, T, Q, K + 1)
+    )
+    masks_t = jnp.swapaxes(outputs.pred_masks, 1, 2)
+    q4g = consistent_match(
+        jax.random.key(1), logits_t, masks_t, targets, MatchCosts(num_points=512)
+    )
+    q4g = np.asarray(q4g)
+    for b in range(B):
+        for n in range(N):
+            if bool(targets.valid[b, n]):
+                assert q4g[b, n] == perm[n], (b, n, q4g[b])
+
+
+def test_criterion_perfect_beats_noise():
+    targets = make_scene()
+    cfg = CriterionConfig(num_classes=K, num_points=512)
+    good = perfect_outputs(targets, [0, 1, 2, 3])
+    rng = np.random.RandomState(3)
+    bad = LayerOutputs(
+        pred_logits=jnp.asarray(rng.randn(B, Q, K + 1).astype(np.float32)),
+        pred_masks=jnp.asarray(rng.randn(B, Q, T, H, W).astype(np.float32)),
+    )
+    lg, _ = video_criterion(jax.random.key(0), good, [], targets, cfg)
+    lb, _ = video_criterion(jax.random.key(0), bad, [], targets, cfg)
+    assert sum(jax.tree.leaves(lg)) < sum(jax.tree.leaves(lb))
+    # classification is exactly recoverable; mask losses stay above zero on a
+    # hard-edge fixture because importance sampling targets the boundary where
+    # bilinear interpolation yields mid logits (point-rend behavior by design)
+    assert float(lg["loss_ce"]) < 1e-2
+    assert float(lg["loss_mask"]) < float(lb["loss_mask"]) / 2
+    assert float(lg["loss_dice"]) < float(lb["loss_dice"]) / 2
+
+
+def test_criterion_jits_and_grads():
+    targets = make_scene()
+    cfg = CriterionConfig(num_classes=K, num_points=128)
+    outputs = perfect_outputs(targets, [0, 1, 2, 3])
+
+    @jax.jit
+    def total(masks):
+        o = LayerOutputs(outputs.pred_logits, masks)
+        losses, _ = video_criterion(jax.random.key(0), o, [o], targets, cfg)
+        return sum(jax.tree.leaves(losses))
+
+    g = jax.grad(total)(outputs.pred_masks)
+    assert np.all(np.isfinite(np.asarray(g)))
