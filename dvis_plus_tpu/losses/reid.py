@@ -15,7 +15,7 @@ loop over per-instance tensors.
 """
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,3 +87,119 @@ def reid_loss(
         "loss_reid": jnp.sum(contras) / num,
         "loss_aux_reid": jnp.sum(aux) / num,
     }
+
+
+# ---------------------------------------------------------------------------
+# Offline (refiner) CL loss with a per-class reference memory
+# ---------------------------------------------------------------------------
+
+
+class ClassMemory(NamedTuple):
+    """Static ring-buffer replacement for ``Outputs_Memory_PerClasses``
+    (reference ``DVIS_Plus/dvis_Plus/utils.py:4-49``, max_len=20): per class, a
+    bank of recent reference embeddings used as extra negatives."""
+
+    embeds: jnp.ndarray  # (K, M, C)
+    count: jnp.ndarray  # (K,) total pushed per class (ring pointer)
+
+    @staticmethod
+    def create(num_classes: int, max_len: int, dim: int) -> "ClassMemory":
+        return ClassMemory(
+            embeds=jnp.zeros((num_classes, max_len, dim), jnp.float32),
+            count=jnp.zeros((num_classes,), jnp.int32),
+        )
+
+
+def _multi_pos_item(
+    anchor: jnp.ndarray,  # (C,)
+    pos: jnp.ndarray,  # (P, C)
+    neg: jnp.ndarray,  # (G, C)
+    neg_valid: jnp.ndarray,  # (G,)
+):
+    """loss_reid with P positives x G negatives (utils.py:68-91): logsumexp
+    over all (neg - pos) pairs padded with 0; aux = mean sq |cos - label|."""
+    dp = pos @ anchor  # (P,)
+    dn = neg @ anchor  # (G,)
+    diffs = dn[None, :] - dp[:, None]  # (P, G)
+    diffs = jnp.where(neg_valid[None, :], diffs, _NEG_INF)
+    x = jnp.concatenate([diffs.reshape(-1), jnp.zeros((1,))])
+    contras = jax.scipy.special.logsumexp(x)
+
+    both = jnp.concatenate([pos, neg], axis=0)
+    bv = jnp.concatenate([jnp.ones((pos.shape[0],), bool), neg_valid])
+    both_n = both / (jnp.linalg.norm(both, axis=-1, keepdims=True) + 1e-12)
+    a_n = anchor / (jnp.linalg.norm(anchor) + 1e-12)
+    cos = both_n @ a_n
+    label = jnp.concatenate([jnp.ones((pos.shape[0],)), jnp.zeros((neg.shape[0],))])
+    aux = jnp.sum(jnp.where(bv, (jnp.abs(cos - label)) ** 2, 0.0)) / jnp.maximum(
+        jnp.sum(bv), 1.0
+    )
+    return contras, aux
+
+
+def reid_loss_with_memory(
+    pred_embds: jnp.ndarray,  # (B, T, Q, C) refiner embeds
+    query_for_gt: jnp.ndarray,  # (B, N)
+    valid: jnp.ndarray,  # (B, N)
+    labels: jnp.ndarray,  # (B, N)
+    memory: ClassMemory,
+) -> Tuple[Dict[str, jnp.ndarray], ClassMemory]:
+    """Offline CL loss (reference get_cl_loss_with_memory
+    ``meta_architecture.py:1502-1579``): per frame i and matched instance,
+    anchor = embed(i, slot); positives = that slot at all T frames; negatives =
+    other slots at frame i plus the class-memory bank of the instance's class.
+    Returns the losses and the updated memory (embeds are pushed after the
+    loss, stop-gradient)."""
+    B, T, Q, C = pred_embds.shape
+    N = query_for_gt.shape[1]
+    K, M = memory.embeds.shape[:2]
+    embeds = pred_embds.astype(jnp.float32)
+
+    def per_video(refs, q4g, val, lab):
+        slot = jnp.clip(q4g, 0, Q - 1)
+        inst_w = (val & (q4g >= 0)).astype(jnp.float32)  # (N,)
+
+        mem_e = memory.embeds[jnp.clip(lab, 0, K - 1)]  # (N, M, C)
+        mem_valid = (
+            jnp.arange(M)[None, :] < jnp.minimum(memory.count[jnp.clip(lab, 0, K - 1)], M)[:, None]
+        )  # (N, M)
+        has_mem = mem_valid.any(axis=1)  # (N,)
+
+        def per_frame_inst(i, n):
+            anchor = refs[i, slot[n]]
+            pos = refs[:, slot[n]]  # (T, C)
+            not_self = jnp.arange(Q) != slot[n]
+            negs_frame = refs[i]  # (Q, C); mask out the anchor slot
+            c1, a1 = _multi_pos_item(anchor, pos, negs_frame, not_self)
+            c2, a2 = _multi_pos_item(anchor, pos, mem_e[n], mem_valid[n])
+            w1 = inst_w[n]
+            w2 = inst_w[n] * has_mem[n].astype(jnp.float32)
+            return c1 * w1 + c2 * w2, a1 * w1 + a2 * w2, w1 + w2
+
+        ii, nn = jnp.meshgrid(jnp.arange(T), jnp.arange(N), indexing="ij")
+        c, a, w = jax.vmap(jax.vmap(per_frame_inst))(ii, nn)
+        return c.sum(), a.sum(), w.sum()
+
+    contras, aux, counts = jax.vmap(per_video)(embeds, query_for_gt, valid, labels)
+    num = jnp.maximum(jnp.sum(counts), 1.0)
+    losses = {
+        "loss_reid": jnp.sum(contras) / num,
+        "loss_aux_reid": jnp.sum(aux) / num,
+    }
+
+    # --- push matched embeddings into the class memory (ring buffer) --------
+    new_embeds = memory.embeds
+    new_count = memory.count
+    flat_embeds = jax.lax.stop_gradient(embeds)
+    for b in range(B):
+        for n in range(N):  # static small loop (N <= ~50)
+            c = jnp.clip(labels[b, n], 0, K - 1)
+            ok = valid[b, n] & (query_for_gt[b, n] >= 0)
+            vals = flat_embeds[b, :, jnp.clip(query_for_gt[b, n], 0, Q - 1)]  # (T, C)
+            base = new_count[c]
+            idxs = jnp.where(ok, (base + jnp.arange(T)) % M, M)  # M = dropped
+            new_embeds = new_embeds.at[c, idxs].set(
+                jnp.where(ok, vals, 0.0), mode="drop"
+            )
+            new_count = new_count.at[c].add(jnp.where(ok, T, 0))
+    return losses, ClassMemory(embeds=new_embeds, count=new_count)

@@ -183,7 +183,6 @@ class ReferringTracker(nn.Module):
         state: Optional[TrackerState] = None,  # None = video start
         rng: Optional[jax.Array] = None,
         training: bool = False,
-        return_indices: bool = False,
     ) -> Tuple[Dict[str, jnp.ndarray], TrackerState]:
         B, T, Q, C = frame_embeds.shape
         if frame_embeds_no_norm is None:
@@ -243,7 +242,6 @@ class ReferringTracker(nn.Module):
             "aux_pred_masks": [masks[j] for j in range(masks.shape[0] - 1)],
             "pred_embds": jnp.transpose(emit[:, -1], (1, 0, 2, 3)),  # (B, T, Q, C)
             "pred_references": jnp.transpose(references, (1, 0, 2, 3)),
+            "indices": jnp.transpose(indices, (1, 0, 2)),  # (B, T, Q)
         }
-        if return_indices:
-            out["indices"] = jnp.transpose(indices, (1, 0, 2))  # (B->?, ...)
         return out, final_state
