@@ -1,0 +1,181 @@
+"""Training engine: jitted train step over a device mesh.
+
+Replaces detectron2's ``DefaultTrainer`` loop (reference
+``DVIS_Plus/train_net_video.py:218-273`` + d2 internals) with an explicit
+functional step:
+
+- one ``train_step(state, batch, rng)`` compiled once; batch arrays are
+  sharded over the mesh's data axis, params replicated — XLA inserts the
+  gradient all-reduce (the reference's DDP/NCCL role, SURVEY §2.5);
+- loss normalizers (num_masks) are global sums over the sharded batch,
+  matching the reference's ``all_reduce(num_masks)``
+  (mask2former_video/modeling/criterion.py:232-234);
+- stage scheduling (matcher guidance until max_iter/2,
+  meta_architecture.py:666-673) keys off ``state.step`` inside the graph;
+- AMP equivalent: modules compute in bf16 with fp32 islands; params/optimizer
+  fp32 throughout (no loss scaling needed on TPU bf16).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dvis_plus_tpu.core.config import Config
+from dvis_plus_tpu.losses.criterion import CriterionConfig
+from dvis_plus_tpu.losses.reid import ClassMemory
+from dvis_plus_tpu.losses.targets import VideoTargets
+from dvis_plus_tpu.engine.optimizer import (
+    make_frozen_predicate,
+    make_optimizer,
+    warmup_multistep_schedule,
+)
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    memory: Optional[ClassMemory] = None  # offline CL class memory
+
+
+class Batch(NamedTuple):
+    images: jnp.ndarray  # (B, T, H, W, 3) normalized
+    targets: VideoTargets
+
+
+def criterion_config(cfg: Config) -> CriterionConfig:
+    c = cfg.model.criterion
+    return CriterionConfig(
+        num_classes=cfg.model.num_classes,
+        eos_coef=c.no_object_weight,
+        class_weight=c.class_weight,
+        mask_weight=c.mask_weight,
+        dice_weight=c.dice_weight,
+        num_points=c.train_num_points,
+        oversample_ratio=c.oversample_ratio,
+        importance_sample_ratio=c.importance_sample_ratio,
+    )
+
+
+def build_optimizer(cfg: Config) -> optax.GradientTransformation:
+    sched = warmup_multistep_schedule(
+        cfg.solver.base_lr,
+        cfg.solver.steps,
+        cfg.solver.gamma,
+        cfg.solver.warmup_iters,
+        cfg.solver.warmup_factor,
+    )
+    return make_optimizer(
+        sched,
+        weight_decay=cfg.solver.weight_decay,
+        backbone_multiplier=cfg.solver.backbone_multiplier,
+        clip_value=cfg.solver.clip_gradients_value,
+        frozen_predicate=make_frozen_predicate(cfg.model.freeze),
+    )
+
+
+def build_loss_fn(cfg: Config, model) -> Callable:
+    """Returns loss_fn(params, batch, rng, step, memory) ->
+    (total, (losses, new_memory))."""
+    arch = cfg.model.meta_architecture
+    ccfg = criterion_config(cfg)
+    half_iter = cfg.solver.max_iter // 2
+
+    if arch in ("minvis", "ctvis"):
+        from dvis_plus_tpu.models.meta.minvis import minvis_train_loss
+
+        def loss_fn(params, batch: Batch, rng, step, memory):
+            B, T = batch.images.shape[:2]
+            out = model.apply(
+                params, batch.images.reshape((B * T,) + batch.images.shape[2:])
+            )
+            losses = minvis_train_loss(rng, out, batch.targets, ccfg)
+            return sum(jax.tree.leaves(losses)), (losses, memory)
+
+        return loss_fn
+
+    if arch == "dvis_online":
+        from dvis_plus_tpu.models.meta.dvis_online import dvis_online_train_loss
+
+        def loss_fn(params, batch: Batch, rng, step, memory):
+            r1, r2 = jax.random.split(rng)
+            seg_out, track_out, _ = model.apply(
+                params, batch.images, rng=r1, training=True
+            )
+            losses = dvis_online_train_loss(
+                r2,
+                seg_out,
+                track_out,
+                batch.targets,
+                ccfg,
+                use_matcher_guidance=step < half_iter,
+            )
+            return sum(jax.tree.leaves(losses)), (losses, memory)
+
+        return loss_fn
+
+    if arch == "dvis_offline":
+        from dvis_plus_tpu.models.meta.dvis_offline import dvis_offline_train_loss
+
+        def loss_fn(params, batch: Batch, rng, step, memory):
+            r1, r2 = jax.random.split(rng)
+            _, track_out, refine_out, _ = model.apply(
+                params, batch.images, rng=r1, training=True
+            )
+            losses, new_memory = dvis_offline_train_loss(
+                r2,
+                track_out,
+                refine_out,
+                batch.targets,
+                ccfg,
+                use_matcher_guidance=step < half_iter,
+                memory=memory,
+            )
+            return sum(jax.tree.leaves(losses)), (losses, new_memory)
+
+        return loss_fn
+
+    raise ValueError(f"Unknown meta architecture: {arch}")
+
+
+def build_train_step(cfg: Config, model, optimizer=None):
+    """Returns (train_step, init_state_fn). ``train_step`` is jit-compiled;
+    donate the state for in-place HBM updates."""
+    optimizer = optimizer or build_optimizer(cfg)
+    loss_fn = build_loss_fn(cfg, model)
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (total, (losses, new_memory)), grads = grad_fn(
+            state.params, batch, rng, state.step, state.memory
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            memory=new_memory,
+        )
+        return new_state, metrics
+
+    def init_state(params) -> TrainState:
+        memory = None
+        if cfg.model.meta_architecture == "dvis_offline":
+            td = cfg.model.transformer_decoder
+            dim = td.hidden_dim * (2 if td.reid_branch else 1)
+            memory = ClassMemory.create(cfg.model.num_classes, 20, dim)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+            memory=memory,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,)), init_state

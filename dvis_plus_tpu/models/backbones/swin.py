@@ -1,0 +1,240 @@
+"""Swin Transformer backbone (NHWC, TPU-native).
+
+Re-designs the reference's vendored Swin
+(``DVIS_Plus/mask2former/modeling/backbone/swin.py:498-770``: SwinTransformer +
+D2SwinTransformer): hierarchical windowed attention with shifted windows,
+relative position bias, patch merging, per-stage output LayerNorms feeding the
+d2 {res2..res5} contract.
+
+TPU notes: all window partitioning is static reshape/transpose (no dynamic
+shapes); attention over (num_windows*B, ws*ws, C) batches rides the MXU;
+stochastic depth only at training. Layout NHWC throughout.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvis_plus_tpu.core.config import BackboneConfig
+
+
+def _rel_pos_index(ws: int) -> np.ndarray:
+    """(ws*ws, ws*ws) relative position index into the bias table."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0) + ws - 1
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # x: (B_, N, C) where N = ws*ws
+        B_, N, C = x.shape
+        H = self.num_heads
+        Dh = C // H
+        ws = self.window_size
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(B_, N, 3, H, Dh), 3, axis=2)
+        q = q[:, :, 0].transpose(0, 2, 1, 3)  # (B_, H, N, Dh)
+        k = k[:, :, 0].transpose(0, 2, 1, 3)
+        v = v[:, :, 0].transpose(0, 2, 1, 3)
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, H),
+        )
+        idx = jnp.asarray(_rel_pos_index(ws))
+        bias = table[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)  # (H, N, N)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        attn = attn * (Dh**-0.5) + bias[None].astype(attn.dtype)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(B_, H, N, N)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B_, N, C)
+        return nn.Dense(C, name="proj")(out)
+
+
+def _window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+
+
+def _window_reverse(wins: jnp.ndarray, ws: int, B: int, H: int, W: int) -> jnp.ndarray:
+    C = wins.shape[-1]
+    x = wins.reshape(B, H // ws, W // ws, ws, ws, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+
+
+def _shift_mask(H: int, W: int, ws: int, shift: int) -> jnp.ndarray:
+    """Attention mask for shifted windows (swin.py img_mask logic)."""
+    img = np.zeros((1, H, W, 1), np.int32)
+    cnt = 0
+    for h in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for w in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[:, h, w, :] = cnt
+            cnt += 1
+    wins = _window_partition(jnp.asarray(img, jnp.float32), ws).reshape(-1, ws * ws)
+    diff = wins[:, None, :] - wins[:, :, None]
+    return jnp.where(diff != 0, -100.0, 0.0)  # (nW, N, N)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        ws = min(self.window_size, max(H, W))
+        shift = self.shift_size if ws < min(H, W) else 0
+        shortcut = x
+
+        x = nn.LayerNorm(name="norm1")(x)
+        pad_b = (ws - H % ws) % ws
+        pad_r = (ws - W % ws) % ws
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        Hp, Wp = H + pad_b, W + pad_r
+
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = _shift_mask(Hp, Wp, ws, shift)
+        else:
+            mask = None
+
+        wins = _window_partition(x, ws)
+        wins = WindowAttention(
+            self.dim, self.num_heads, ws, self.qkv_bias, name="attn"
+        )(wins, mask)
+        x = _window_reverse(wins, ws, B, Hp, Wp)
+
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = x[:, :H, :W]
+
+        x = shortcut + self._drop_path(x, training)
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(C, name="mlp_fc2")(y)
+        return x + self._drop_path(y, training)
+
+    def _drop_path(self, x: jnp.ndarray, training: bool) -> jnp.ndarray:
+        if not training or self.drop_path == 0.0:
+            return x
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1))
+        return x * mask.astype(x.dtype) / keep
+
+
+class PatchMerging(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+
+
+class SwinTransformer(nn.Module):
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.3
+    patch_size: int = 4
+    out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> Dict[str, jnp.ndarray]:
+        ps = self.patch_size
+        B, H, W, _ = x.shape
+        pad_b = (ps - H % ps) % ps
+        pad_r = (ps - W % ps) % ps
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        x = nn.Conv(
+            self.embed_dim, (ps, ps), strides=(ps, ps), name="patch_embed"
+        )(x)
+        x = nn.LayerNorm(name="patch_norm")(x)
+
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
+        outs: Dict[str, jnp.ndarray] = {}
+        dim = self.embed_dim
+        blk_idx = 0
+        for s, depth in enumerate(self.depths):
+            for b in range(depth):
+                x = SwinBlock(
+                    dim=dim,
+                    num_heads=self.num_heads[s],
+                    window_size=self.window_size,
+                    shift_size=0 if b % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    drop_path=float(dpr[blk_idx]),
+                    name=f"stage{s}_block{b}",
+                )(x, training)
+                blk_idx += 1
+            name = f"res{s + 2}"
+            if name in self.out_features:
+                outs[name] = nn.LayerNorm(name=f"out_norm{s}")(x)
+            if s < len(self.depths) - 1:
+                x = PatchMerging(dim, name=f"downsample{s}")(x)
+                dim *= 2
+        return outs
+
+
+_SWIN_VARIANTS = {
+    "swin_t": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
+    "swin_s": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "swin_b": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
+    "swin_l": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)),
+}
+
+
+def build_swin(cfg: BackboneConfig) -> SwinTransformer:
+    kw = dict(_SWIN_VARIANTS[cfg.name]) if cfg.name in _SWIN_VARIANTS else dict(
+        embed_dim=cfg.swin_embed_dim,
+        depths=cfg.swin_depths,
+        num_heads=cfg.swin_num_heads,
+    )
+    return SwinTransformer(
+        window_size=cfg.swin_window_size,
+        mlp_ratio=cfg.swin_mlp_ratio,
+        qkv_bias=cfg.swin_qkv_bias,
+        drop_path_rate=cfg.swin_drop_path_rate,
+        patch_size=cfg.swin_patch_size,
+        out_features=cfg.out_features,
+        **kw,
+    )

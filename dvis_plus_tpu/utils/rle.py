@@ -1,0 +1,150 @@
+"""ctypes bindings for the native C++ RLE mask codec (native/rle/rle.cpp).
+
+Drop-in replacement for the pycocotools mask API surface the reference
+evaluators use (``mask_util.encode/decode/area/iou/merge`` in
+``DVIS_Plus/dvis_Plus/data_video/ytvis_eval.py:256-295`` and the vendored
+``DVIS_DAQ/.../pycocotools/_mask.pyx``). Host-side only (evaluation / data
+tooling), built on demand with g++ — no pip dependency.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "rle", "rle.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "..", "..", "native", "rle", "librle.so")
+
+
+def _load() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    src = os.path.abspath(_SRC)
+    so = os.path.abspath(_SO)
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", so, src], check=True
+        )
+    lib = ctypes.CDLL(so)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rle_encode.restype = ctypes.c_int64
+    lib.rle_encode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u32p]
+    lib.rle_decode.restype = None
+    lib.rle_decode.argtypes = [u32p, ctypes.c_int64, u8p, ctypes.c_int64]
+    lib.rle_area.restype = ctypes.c_uint64
+    lib.rle_area.argtypes = [u32p, ctypes.c_int64]
+    lib.rle_iou.restype = ctypes.c_double
+    lib.rle_iou.argtypes = [u32p, ctypes.c_int64, u32p, ctypes.c_int64, ctypes.c_int32]
+    lib.rle_merge.restype = ctypes.c_int64
+    lib.rle_merge.argtypes = [u32p, ctypes.c_int64, u32p, ctypes.c_int64, u32p, ctypes.c_int32]
+    lib.rle_to_string.restype = ctypes.c_int64
+    lib.rle_to_string.argtypes = [u32p, ctypes.c_int64, ctypes.c_char_p]
+    lib.rle_from_string.restype = ctypes.c_int64
+    lib.rle_from_string.argtypes = [ctypes.c_char_p, ctypes.c_int64, u32p]
+    _LIB = lib
+    return lib
+
+
+def _u32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def encode(mask: np.ndarray) -> Dict:
+    """Binary mask (H, W) [C-order input] -> COCO RLE dict
+    {"size": [H, W], "counts": bytes}."""
+    H, W = mask.shape
+    fmask = np.asfortranarray(mask.astype(np.uint8)).reshape(-1, order="F")
+    fmask = np.ascontiguousarray(fmask)
+    lib = _load()
+    cnts = np.empty(H * W + 1, np.uint32)
+    m = lib.rle_encode(
+        fmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), H, W, _u32p(cnts)
+    )
+    buf = ctypes.create_string_buffer(int(6 * m + 1))
+    n = lib.rle_to_string(_u32p(cnts), m, buf)
+    return {"size": [int(H), int(W)], "counts": buf.raw[:n]}
+
+
+def decode(rle: Dict) -> np.ndarray:
+    """COCO RLE dict -> binary mask (H, W) uint8 (C-order)."""
+    H, W = rle["size"]
+    counts = rle["counts"]
+    lib = _load()
+    if isinstance(counts, str):
+        counts = counts.encode()
+    if isinstance(counts, (bytes, bytearray)):
+        cnts = np.empty(len(counts) + 2, np.uint32)
+        m = lib.rle_from_string(bytes(counts), len(counts), _u32p(cnts))
+    else:  # uncompressed list
+        cnts = np.asarray(counts, np.uint32)
+        m = len(cnts)
+    mask = np.zeros(H * W, np.uint8)
+    lib.rle_decode(
+        _u32p(cnts), m, mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), H * W
+    )
+    return mask.reshape(W, H).T.copy()  # column-major -> C order
+
+
+def _counts_of(rle: Dict) -> np.ndarray:
+    lib = _load()
+    counts = rle["counts"]
+    if isinstance(counts, str):
+        counts = counts.encode()
+    if isinstance(counts, (bytes, bytearray)):
+        cnts = np.empty(len(counts) + 2, np.uint32)
+        m = lib.rle_from_string(bytes(counts), len(counts), _u32p(cnts))
+        return cnts[:m].copy()
+    return np.asarray(counts, np.uint32)
+
+
+def area(rle: Dict) -> int:
+    c = _counts_of(rle)
+    return int(_load().rle_area(_u32p(c), len(c)))
+
+
+def iou(dt: List[Dict], gt: List[Dict], iscrowd: List[int]) -> np.ndarray:
+    """Pairwise IoU matrix (len(dt), len(gt)) matching pycocotools semantics."""
+    lib = _load()
+    out = np.zeros((len(dt), len(gt)), np.float64)
+    dts = [_counts_of(d) for d in dt]
+    gts = [_counts_of(g) for g in gt]
+    for i, dc in enumerate(dts):
+        for j, gc in enumerate(gts):
+            out[i, j] = lib.rle_iou(
+                _u32p(dc), len(dc), _u32p(gc), len(gc), int(iscrowd[j]) if iscrowd else 0
+            )
+    return out
+
+
+def merge(rles: List[Dict], intersect: bool = False) -> Dict:
+    """Union (or intersection) of several RLEs."""
+    lib = _load()
+    assert rles
+    acc = _counts_of(rles[0])
+    H, W = rles[0]["size"]
+    for r in rles[1:]:
+        b = _counts_of(r)
+        out = np.empty(len(acc) + len(b) + 2, np.uint32)
+        m = lib.rle_merge(_u32p(acc), len(acc), _u32p(b), len(b), _u32p(out), int(intersect))
+        acc = out[:m].copy()
+    buf = ctypes.create_string_buffer(int(6 * len(acc) + 1))
+    n = lib.rle_to_string(_u32p(acc), len(acc), buf)
+    return {"size": [int(H), int(W)], "counts": buf.raw[:n]}
+
+
+def frPyObjects(rle_or_poly, h: int, w: int):
+    """Minimal frPyObjects: uncompressed RLE dict -> compressed RLE."""
+    if isinstance(rle_or_poly, dict) and "counts" in rle_or_poly:
+        c = _counts_of(rle_or_poly)
+        lib = _load()
+        buf = ctypes.create_string_buffer(int(6 * len(c) + 1))
+        n = lib.rle_to_string(_u32p(c), len(c), buf)
+        return {"size": [h, w], "counts": buf.raw[:n]}
+    raise NotImplementedError("polygon -> RLE not implemented (masks ship as RLE)")
