@@ -1,0 +1,181 @@
+"""Clip-consistent augmentations (host-side numpy/cv2).
+
+Re-designs the reference's clip transform stack
+(``DVIS_Plus/dvis_Plus/data_video/augmentation.py:21-507``: ResizeShortestEdge,
+RandomFlip with ``flip_by_clip``, RandomRotationClip, crop variants,
+build_augmentation/build_pseudo_augmentation): one set of random parameters is
+drawn per clip and applied to every frame + its masks, preserving temporal
+consistency. Images HWC uint8/float32; masks HW uint8.
+"""
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+
+class ClipTransform:
+    """Deterministic transform (parameters already sampled) applied per frame."""
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def apply_mask(self, mask: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class ResizeTransform(ClipTransform):
+    def __init__(self, new_h: int, new_w: int):
+        self.new_h, self.new_w = new_h, new_w
+
+    def apply_image(self, img):
+        return cv2.resize(img, (self.new_w, self.new_h), interpolation=cv2.INTER_LINEAR)
+
+    def apply_mask(self, mask):
+        return cv2.resize(mask, (self.new_w, self.new_h), interpolation=cv2.INTER_NEAREST)
+
+
+class FlipTransform(ClipTransform):
+    def apply_image(self, img):
+        return np.ascontiguousarray(img[:, ::-1])
+
+    apply_mask = apply_image
+
+
+class RotationTransform(ClipTransform):
+    """Rotate about the image center, expanding the canvas (reference
+    RandomRotationClip with expand=True)."""
+
+    def __init__(self, h: int, w: int, angle: float):
+        self.angle = angle
+        center = ((w - 1) / 2, (h - 1) / 2)
+        M = cv2.getRotationMatrix2D(center, angle, 1.0)
+        cos, sin = abs(M[0, 0]), abs(M[0, 1])
+        nw = int(round(h * sin + w * cos))
+        nh = int(round(h * cos + w * sin))
+        M[0, 2] += (nw - 1) / 2 - center[0]
+        M[1, 2] += (nh - 1) / 2 - center[1]
+        self.M, self.new_h, self.new_w = M, nh, nw
+
+    def apply_image(self, img):
+        return cv2.warpAffine(img, self.M, (self.new_w, self.new_h), flags=cv2.INTER_LINEAR)
+
+    def apply_mask(self, mask):
+        return cv2.warpAffine(mask, self.M, (self.new_w, self.new_h), flags=cv2.INTER_NEAREST)
+
+
+class CropTransform(ClipTransform):
+    def __init__(self, y0: int, x0: int, h: int, w: int):
+        self.y0, self.x0, self.h, self.w = y0, x0, h, w
+
+    def apply_image(self, img):
+        return img[self.y0 : self.y0 + self.h, self.x0 : self.x0 + self.w]
+
+    apply_mask = apply_image
+
+
+class Identity(ClipTransform):
+    def apply_image(self, img):
+        return img
+
+    apply_mask = apply_image
+
+
+class ClipAugmentation:
+    """Samples a transform once per clip."""
+
+    def sample(self, h: int, w: int, rng: random.Random) -> ClipTransform:
+        raise NotImplementedError
+
+
+class ResizeShortestEdge(ClipAugmentation):
+    def __init__(self, min_sizes: Sequence[int], max_size: int, sample_style: str = "choice"):
+        self.min_sizes = list(min_sizes)
+        self.max_size = max_size
+        self.sample_style = sample_style
+
+    def sample(self, h, w, rng):
+        if self.sample_style == "range":
+            size = rng.randint(min(self.min_sizes), max(self.min_sizes))
+        else:
+            size = rng.choice(self.min_sizes)
+        scale = size / min(h, w)
+        if max(h, w) * scale > self.max_size:
+            scale = self.max_size / max(h, w)
+        return ResizeTransform(int(round(h * scale)), int(round(w * scale)))
+
+
+class RandomFlip(ClipAugmentation):
+    def __init__(self, prob: float = 0.5):
+        self.prob = prob
+
+    def sample(self, h, w, rng):
+        return FlipTransform() if rng.random() < self.prob else Identity()
+
+
+class RandomRotation(ClipAugmentation):
+    def __init__(self, angles: Sequence[float], prob: float = 0.5):
+        self.angles = list(angles)
+        self.prob = prob
+
+    def sample(self, h, w, rng):
+        if rng.random() >= self.prob:
+            return Identity()
+        lo, hi = min(self.angles), max(self.angles)
+        return RotationTransform(h, w, rng.uniform(lo, hi))
+
+
+class RandomCrop(ClipAugmentation):
+    """Relative-range crop (d2 RandomCrop 'relative_range')."""
+
+    def __init__(self, crop_size: Tuple[float, float]):
+        self.crop_size = crop_size
+
+    def sample(self, h, w, rng):
+        ch = int(h * (self.crop_size[0] + rng.random() * (1 - self.crop_size[0])))
+        cw = int(w * (self.crop_size[1] + rng.random() * (1 - self.crop_size[1])))
+        y0 = rng.randint(0, max(h - ch, 0))
+        x0 = rng.randint(0, max(w - cw, 0))
+        return CropTransform(y0, x0, ch, cw)
+
+
+def build_train_augmentation(cfg_input) -> List[ClipAugmentation]:
+    """Reference build_augmentation (augmentation.py:~450-507): shortest-edge
+    resize + clip flip (+ optional crop)."""
+    augs: List[ClipAugmentation] = []
+    if cfg_input.random_flip != "none":
+        augs.append(RandomFlip())
+    augs.append(
+        ResizeShortestEdge(cfg_input.min_size_train, cfg_input.max_size_train)
+    )
+    if cfg_input.crop_enabled:
+        augs.append(RandomCrop((0.8, 0.8)))
+    return augs
+
+
+def build_test_augmentation(cfg_input) -> List[ClipAugmentation]:
+    return [ResizeShortestEdge([cfg_input.min_size_test], cfg_input.max_size_test)]
+
+
+def apply_clip_transforms(
+    transforms: List[ClipTransform],
+    frames: List[np.ndarray],
+    masks_per_frame: Optional[List[List[np.ndarray]]] = None,
+):
+    """Apply the sampled per-clip transforms to every frame (and masks)."""
+    out_frames = []
+    out_masks = [] if masks_per_frame is not None else None
+    for fi, img in enumerate(frames):
+        for t in transforms:
+            img = t.apply_image(img)
+        out_frames.append(img)
+        if masks_per_frame is not None:
+            ms = []
+            for m in masks_per_frame[fi]:
+                for t in transforms:
+                    m = t.apply_mask(m)
+                ms.append(m)
+            out_masks.append(ms)
+    return out_frames, out_masks

@@ -1,0 +1,171 @@
+"""Task evaluators: VIS (results.json + AP), VPS (panoptic PNG + json),
+VSS (semantic PNG).
+
+Re-designs the reference evaluators:
+- ``YTVISEvaluator`` (``DVIS_Plus/dvis_Plus/data_video/ytvis_eval.py:27-295``):
+  per-video prediction rows -> RLE-encoded ``results.json``; AP via the
+  native YTVOS-protocol scorer when GT is available. (The reference gathers
+  across ranks with ``comm.gather``; here cross-host gather happens via the
+  caller aggregating per-process lists — single-host by default.)
+- ``VPSEvaluator`` (``vps_eval.py:21-152``): per-frame panoptic id PNGs +
+  ``pred.json`` rows (scored offline by the VPQ/STQ scorers).
+- ``VSSEvaluator`` (``vss_eval.py:14-120``): per-frame semantic-class PNGs.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dvis_plus_tpu.utils import rle as rle_codec
+
+
+class YTVISEvaluator:
+    """Collects per-video VIS predictions; writes results.json; scores AP."""
+
+    def __init__(
+        self,
+        dataset_name: str,
+        output_dir: str,
+        contiguous_to_dataset_id: Optional[Dict[int, int]] = None,
+        gt_json: Optional[str] = None,
+    ):
+        self.dataset_name = dataset_name
+        self.output_dir = output_dir
+        self.reverse_id_map = contiguous_to_dataset_id or {}
+        self.gt_json = gt_json
+        self._predictions: List[dict] = []
+        os.makedirs(output_dir, exist_ok=True)
+
+    def process(self, video_id: int, output: dict) -> None:
+        """output: {"pred_scores": [..], "pred_labels": [..],
+        "pred_masks": [N x (T, H, W) bool]} (instances_to_coco_json_video
+        equivalent, ytvis_eval.py:256-295)."""
+        for score, label, masks in zip(
+            output["pred_scores"], output["pred_labels"], output["pred_masks"]
+        ):
+            segs = []
+            for t in range(masks.shape[0]):
+                m = np.asarray(masks[t], np.uint8)
+                if m.any():
+                    e = rle_codec.encode(m)
+                    segs.append(
+                        {"size": e["size"], "counts": e["counts"].decode("ascii")}
+                    )
+                else:
+                    segs.append(None)
+            self._predictions.append(
+                {
+                    "video_id": int(video_id),
+                    "score": float(score),
+                    "category_id": int(self.reverse_id_map.get(int(label), int(label) + 1)),
+                    "segmentations": segs,
+                }
+            )
+
+    def evaluate(self) -> Dict[str, float]:
+        path = os.path.join(self.output_dir, "results.json")
+        with open(path, "w") as f:
+            json.dump(self._predictions, f)
+        if not self.gt_json or not os.path.exists(self.gt_json):
+            return {"predictions": len(self._predictions)}
+        from dvis_plus_tpu.evaluation.ytvos_eval import evaluate_vis
+
+        with open(self.gt_json) as f:
+            gt = json.load(f)
+        nframes = {v["id"]: len(v["file_names"]) for v in gt["videos"]}
+        gt_anns = []
+        for ann in gt.get("annotations", []):
+            gt_anns.append(
+                {
+                    "video_id": ann["video_id"],
+                    "category_id": ann["category_id"],
+                    "segmentations": ann.get("segmentations"),
+                    "iscrowd": ann.get("iscrowd", 0),
+                }
+            )
+        return evaluate_vis(gt_anns, self._predictions, nframes)
+
+
+def _id_color(seg_id: int) -> np.ndarray:
+    """Deterministic id -> RGB (panopticapi id encoding: id = R + 256 G + ...)."""
+    return np.asarray(
+        [seg_id % 256, (seg_id // 256) % 256, (seg_id // 65536) % 256], np.uint8
+    )
+
+
+class VPSEvaluator:
+    """Writes per-frame panoptic PNGs + pred.json (vps_eval.py:97-152)."""
+
+    def __init__(self, dataset_name: str, output_dir: str):
+        self.output_dir = output_dir
+        os.makedirs(os.path.join(output_dir, "pan_pred"), exist_ok=True)
+        self._annotations: List[dict] = []
+
+    def process(
+        self,
+        video_id: str,
+        frame_names: List[str],
+        panoptic_seg: np.ndarray,  # (T, H, W) int32 segment ids (0 = void)
+        segments_infos: List[dict],
+    ) -> None:
+        import cv2
+
+        T = panoptic_seg.shape[0]
+        annos = []
+        for t in range(T):
+            seg = panoptic_seg[t]
+            img = np.zeros((*seg.shape, 3), np.uint8)
+            for info in segments_infos:
+                img[seg == info["id"]] = _id_color(info["id"])
+            name = os.path.splitext(os.path.basename(frame_names[t]))[0] + ".png"
+            vdir = os.path.join(self.output_dir, "pan_pred", str(video_id))
+            os.makedirs(vdir, exist_ok=True)
+            cv2.imwrite(os.path.join(vdir, name), img[:, :, ::-1])
+            annos.append(
+                {
+                    "file_name": name,
+                    "segments_info": [
+                        {
+                            "id": info["id"],
+                            "category_id": info["category_id"],
+                            "isthing": info["isthing"],
+                        }
+                        for info in segments_infos
+                        if (seg == info["id"]).any()
+                    ],
+                }
+            )
+        self._annotations.append({"video_id": str(video_id), "annotations": annos})
+
+    def evaluate(self) -> Dict[str, float]:
+        path = os.path.join(self.output_dir, "pred.json")
+        with open(path, "w") as f:
+            json.dump({"annotations": self._annotations}, f)
+        return {"videos": len(self._annotations)}
+
+
+class VSSEvaluator:
+    """Writes per-frame semantic-class PNGs (vss_eval.py:84-108)."""
+
+    def __init__(self, dataset_name: str, output_dir: str):
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self._count = 0
+
+    def process(
+        self, video_id: str, frame_names: List[str], sem_seg: np.ndarray
+    ) -> None:
+        import cv2
+
+        vdir = os.path.join(self.output_dir, str(video_id))
+        os.makedirs(vdir, exist_ok=True)
+        for t in range(sem_seg.shape[0]):
+            name = os.path.splitext(os.path.basename(frame_names[t]))[0] + ".png"
+            cv2.imwrite(os.path.join(vdir, name), sem_seg[t].astype(np.uint8))
+        self._count += 1
+
+    def evaluate(self) -> Dict[str, float]:
+        return {"videos": self._count}

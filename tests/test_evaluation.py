@@ -1,0 +1,124 @@
+"""Evaluators + video metrics on synthetic predictions."""
+import numpy as np
+
+from dvis_plus_tpu.evaluation.video_metrics import (
+    miou_eval,
+    stq_eval,
+    vc_eval,
+    vpq_eval,
+)
+from dvis_plus_tpu.evaluation.ytvos_eval import evaluate_vis, track_iou
+from dvis_plus_tpu.utils import rle as rle_codec
+
+
+def _track(masks):
+    return [rle_codec.encode(m) if m is not None and m.any() else None for m in masks]
+
+
+def box_mask(H, W, y0, y1, x0, x1):
+    m = np.zeros((H, W), np.uint8)
+    m[y0:y1, x0:x1] = 1
+    return m
+
+
+def test_track_iou():
+    H, W = 20, 20
+    a = [box_mask(H, W, 0, 10, 0, 10), box_mask(H, W, 0, 10, 0, 10)]
+    b = [box_mask(H, W, 0, 10, 0, 10), None]
+    iou = track_iou(_track(a), _track(b))
+    # frame1: 100/100, frame2: 0/100 -> 100/200
+    np.testing.assert_allclose(iou, 0.5)
+
+
+def test_evaluate_vis_perfect_and_wrong():
+    H, W, T = 20, 20, 2
+    gt_masks = [box_mask(H, W, 0, 10, 0, 10)] * T
+    gt = [
+        {"video_id": 1, "category_id": 1, "segmentations": [
+            {"size": e["size"], "counts": e["counts"].decode()} for e in
+            [rle_codec.encode(m) for m in gt_masks]], "iscrowd": 0}
+    ]
+    pred_good = [
+        {"video_id": 1, "category_id": 1, "score": 0.9, "segmentations": _track(gt_masks)}
+    ]
+    res = evaluate_vis(gt, pred_good, {1: T})
+    assert res["AP"] > 0.99
+    pred_bad = [
+        {"video_id": 1, "category_id": 1, "score": 0.9,
+         "segmentations": _track([box_mask(H, W, 10, 20, 10, 20)] * T)}
+    ]
+    res = evaluate_vis(gt, pred_bad, {1: T})
+    assert res["AP"] == 0.0
+
+
+def test_evaluate_vis_ranking():
+    """A low-scoring FP after a TP keeps AP high; before it lowers AP."""
+    H, W, T = 20, 20, 2
+    gmask = [box_mask(H, W, 0, 10, 0, 10)] * T
+    gt = [{"video_id": 1, "category_id": 1, "segmentations": _track(gmask), "iscrowd": 0}]
+    fp = _track([box_mask(H, W, 12, 18, 12, 18)] * T)
+    res_hi = evaluate_vis(
+        gt,
+        [
+            {"video_id": 1, "category_id": 1, "score": 0.9, "segmentations": _track(gmask)},
+            {"video_id": 1, "category_id": 1, "score": 0.1, "segmentations": fp},
+        ],
+        {1: T},
+    )
+    res_lo = evaluate_vis(
+        gt,
+        [
+            {"video_id": 1, "category_id": 1, "score": 0.1, "segmentations": _track(gmask)},
+            {"video_id": 1, "category_id": 1, "score": 0.9, "segmentations": fp},
+        ],
+        {1: T},
+    )
+    assert res_hi["AP"] > res_lo["AP"]
+
+
+def test_vpq_perfect():
+    T, H, W = 4, 16, 16
+    cls = np.zeros((T, H, W), np.int32)
+    cls[:, :, 8:] = 1
+    ids = np.zeros((T, H, W), np.int32)
+    ids[:, :, 8:] = 7
+    res = vpq_eval([(cls, ids)], [(cls.copy(), ids.copy())], num_classes=3, windows=(1, 2))
+    assert abs(res["VPQ"] - 100.0) < 1e-6
+
+
+def test_vpq_id_switch_hurts_long_windows():
+    T, H, W = 4, 16, 16
+    cls = np.zeros((T, H, W), np.int32)
+    gt_ids = np.ones((T, H, W), np.int32)
+    pr_ids = np.ones((T, H, W), np.int32)
+    pr_ids[2:] = 2  # identity switch at t=2
+    res = vpq_eval([(cls, pr_ids)], [(cls, gt_ids)], num_classes=1, windows=(1, 4))
+    assert res["VPQ@1"] > 99.0  # per-frame unaffected
+    assert res["VPQ@4"] < res["VPQ@1"]  # tube match broken
+
+
+def test_miou_and_vc():
+    T, H, W = 8, 10, 10
+    gt = np.zeros((T, H, W), np.int32)
+    gt[:, 5:] = 1
+    pred = gt.copy()
+    pred[:, 0, 0] = 1  # small error
+    assert miou_eval([pred], [gt], 2) > 90
+    assert vc_eval([gt.copy()], [gt], n=4) == 100.0
+    flicker = gt.copy()
+    flicker[::2, :5] = 1  # alternating prediction
+    assert vc_eval([flicker], [gt], n=4) < 60
+
+
+def test_stq():
+    T, H, W = 4, 12, 12
+    cls = np.zeros((T, H, W), np.int32)
+    ids = np.zeros((T, H, W), np.int32)
+    ids[:, :, 6:] = 3
+    res = stq_eval([(cls, ids)], [(cls, ids.copy())], num_classes=2, num_things=1)
+    assert abs(res["STQ"] - 100.0) < 1e-5
+    # broken association halves AQ-ish
+    pr_ids = ids.copy()
+    pr_ids[2:][ids[2:] == 3] = 9
+    res2 = stq_eval([(cls, pr_ids)], [(cls, ids)], num_classes=2, num_things=1)
+    assert res2["STQ"] < res["STQ"]

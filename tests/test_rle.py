@@ -1,0 +1,78 @@
+"""Native C++ RLE codec vs naive numpy reference."""
+import numpy as np
+
+from dvis_plus_tpu.utils import rle
+
+
+def random_mask(rng, H=37, W=23, p=0.3):
+    return (rng.rand(H, W) < p).astype(np.uint8)
+
+
+def test_roundtrip():
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        m = random_mask(rng)
+        enc = rle.encode(m)
+        dec = rle.decode(enc)
+        np.testing.assert_array_equal(m, dec)
+
+
+def test_empty_and_full():
+    for m in [np.zeros((8, 8), np.uint8), np.ones((8, 8), np.uint8)]:
+        np.testing.assert_array_equal(rle.decode(rle.encode(m)), m)
+
+
+def test_area():
+    rng = np.random.RandomState(1)
+    m = random_mask(rng)
+    assert rle.area(rle.encode(m)) == int(m.sum())
+
+
+def test_iou_matches_numpy():
+    rng = np.random.RandomState(2)
+    dts = [random_mask(rng) for _ in range(3)]
+    gts = [random_mask(rng) for _ in range(4)]
+    got = rle.iou([rle.encode(m) for m in dts], [rle.encode(m) for m in gts], [0] * 4)
+    for i, d in enumerate(dts):
+        for j, g in enumerate(gts):
+            inter = np.logical_and(d, g).sum()
+            union = np.logical_or(d, g).sum()
+            expect = inter / union if union else 0.0
+            np.testing.assert_allclose(got[i, j], expect, rtol=1e-9)
+
+
+def test_iou_crowd():
+    rng = np.random.RandomState(3)
+    d, g = random_mask(rng), random_mask(rng)
+    got = rle.iou([rle.encode(d)], [rle.encode(g)], [1])
+    inter = np.logical_and(d, g).sum()
+    np.testing.assert_allclose(got[0, 0], inter / d.sum(), rtol=1e-9)
+
+
+def test_merge_union_intersect():
+    rng = np.random.RandomState(4)
+    a, b = random_mask(rng), random_mask(rng)
+    u = rle.decode(rle.merge([rle.encode(a), rle.encode(b)], intersect=False))
+    i = rle.decode(rle.merge([rle.encode(a), rle.encode(b)], intersect=True))
+    np.testing.assert_array_equal(u, np.logical_or(a, b).astype(np.uint8))
+    np.testing.assert_array_equal(i, np.logical_and(a, b).astype(np.uint8))
+
+
+def test_string_counts_codec_large_runs():
+    """Delta/sign-extension paths: long runs and alternating tiny runs."""
+    H, W = 300, 400
+    m = np.zeros((H, W), np.uint8)
+    m[:, 100:300] = 1
+    m[::2, 0:10] = 1
+    enc = rle.encode(m)
+    assert isinstance(enc["counts"], bytes)
+    np.testing.assert_array_equal(rle.decode(enc), m)
+
+
+def test_uncompressed_counts_accepted():
+    m = np.zeros((4, 4), np.uint8)
+    m[1:3, 1:3] = 1
+    enc = rle.encode(m)
+    cnts = rle._counts_of(enc)
+    dec = rle.decode({"size": [4, 4], "counts": cnts.tolist()})
+    np.testing.assert_array_equal(dec, m)
