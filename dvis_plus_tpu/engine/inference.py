@@ -1,0 +1,188 @@
+"""Inference drivers: windowed streaming eval over whole videos.
+
+Re-designs the reference's eval path (``inference_on_dataset`` +
+``run_window_inference``, meta_architecture.py:774-816 online / 1446-1500
+offline): frames are chunked into fixed windows (padding the tail window so
+every window step hits the same compiled executable), the tracker carry
+streams across windows on device, and only the final per-video outputs cross
+to host for the evaluator.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvis_plus_tpu.core.config import Config
+from dvis_plus_tpu.models.tracker.referring_tracker import init_tracker_state
+
+logger = logging.getLogger(__name__)
+
+
+def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator):
+    """VIS eval loop: segmenter(+tracker) windows -> post-processing -> top-K
+    masks -> evaluator.process per video."""
+    arch = cfg.model.meta_architecture
+    W_sz = cfg.test.window_size
+    topk = cfg.test.max_num
+
+    window_fns: Dict = {}
+
+    for sample in loader:
+        images = sample["images"]  # (T, H, W, 3) numpy
+        T, H, W = images.shape[:3]
+        n_windows = (T + W_sz - 1) // W_sz
+        pad_T = n_windows * W_sz
+
+        if arch in ("minvis", "ctvis"):
+            out = _minvis_video(cfg, model, params, images, window_fns, W_sz)
+        else:
+            out = _online_video(cfg, model, params, images, window_fns, W_sz)
+
+        logits, masks = out  # (Q, K+1), (Q, T', H4, W4) with T' >= T
+        masks = masks[:, :T]
+
+        from dvis_plus_tpu.models.meta.minvis import inference_video
+
+        h, w = [int(v) for v in sample["image_size"]]
+        res = inference_video(
+            logits,
+            masks,
+            img_size=(h, w),
+            output_size=(int(sample["height"]), int(sample["width"])),
+            padded_size=(H, W),
+            topk=topk,
+        )
+        evaluator.process(
+            sample.get("video_id", 0),
+            {
+                "pred_scores": np.asarray(res.scores).tolist(),
+                "pred_labels": np.asarray(res.labels).tolist(),
+                "pred_masks": np.asarray(res.masks),
+            },
+        )
+
+
+def _pad_to(images: np.ndarray, pad_T: int) -> np.ndarray:
+    T = images.shape[0]
+    if T == pad_T:
+        return images
+    reps = np.repeat(images[-1:], pad_T - T, axis=0)
+    return np.concatenate([images, reps], axis=0)
+
+
+def _minvis_video(cfg, model, params, images, window_fns, W_sz):
+    """MinVIS: independent per-window decode, embed matching across all frames
+    (reference MinVIS.run_window_inference :304-330 + post_processing)."""
+    key = ("minvis", W_sz)
+    if key not in window_fns:
+        @jax.jit
+        def win(params, imgs):
+            out = model.apply(params, imgs)
+            return out["pred_logits"], out["pred_masks"], out["pred_embds"]
+
+        window_fns[key] = win
+    win = window_fns[key]
+
+    T = images.shape[0]
+    n_windows = (T + W_sz - 1) // W_sz
+    images = _pad_to(images, n_windows * W_sz)
+    logits_l, masks_l, embds_l = [], [], []
+    for i in range(n_windows):
+        chunk = jnp.asarray(images[i * W_sz : (i + 1) * W_sz])
+        lg, mk, em = win(params, chunk)
+        logits_l.append(lg)
+        masks_l.append(mk)
+        embds_l.append(em)
+    logits = jnp.concatenate(logits_l, axis=0)[:T]
+    masks = jnp.concatenate(masks_l, axis=0)[:T]
+    embds = jnp.concatenate(embds_l, axis=0)[:T]
+
+    from dvis_plus_tpu.models.meta.minvis import minvis_post_processing
+
+    mean_logits, aligned = jax.jit(minvis_post_processing)(logits, masks, embds)
+    return mean_logits, aligned
+
+
+def _online_video(cfg, model, params, images, window_fns, W_sz):
+    """DVIS online: tracker carry streams across windows; offline: embeds
+    accumulate per window, then one full-video refiner pass with logits-max
+    class fusion (reference :1377 + :824-826)."""
+    arch = cfg.model.meta_architecture
+    offline = arch == "dvis_offline"
+    key = (arch, W_sz)
+
+    if key not in window_fns:
+        if offline:
+            @jax.jit
+            def win(params, imgs, state):
+                lg, inst, frame, mf, new_state = model.apply(
+                    params, imgs[None], state, method=type(model).online_step
+                )
+                return lg[0], inst, frame, mf, new_state
+        else:
+            @jax.jit
+            def win(params, imgs, state):
+                seg_out, track_out, new_state = model.apply(
+                    params, imgs[None], state=state
+                )
+                return (
+                    track_out["pred_logits"][0],
+                    track_out["pred_masks"][0],
+                    new_state,
+                )
+
+        window_fns[key] = win
+    win = window_fns[key]
+
+    td = cfg.model.transformer_decoder
+    C2 = td.hidden_dim * (2 if td.reid_branch else 1)
+    state = init_tracker_state(1, td.num_queries, C2)
+
+    T = images.shape[0]
+    n_windows = (T + W_sz - 1) // W_sz
+    images = _pad_to(images, n_windows * W_sz)
+
+    if not offline:
+        logits_l, masks_l = [], []
+        for i in range(n_windows):
+            chunk = jnp.asarray(images[i * W_sz : (i + 1) * W_sz])
+            lg, mk, state = win(params, chunk, state)
+            logits_l.append(lg)
+            masks_l.append(mk)
+        logits = jnp.concatenate(logits_l, axis=0)[:T]  # (T, Q, K+1)
+        masks = jnp.concatenate(masks_l, axis=1)[:, :T]  # (Q, T, H4, W4)
+        return logits.mean(axis=0), masks
+
+    online_logits_l, inst_l, frame_l, mf_l = [], [], [], []
+    for i in range(n_windows):
+        chunk = jnp.asarray(images[i * W_sz : (i + 1) * W_sz])
+        lg, inst, frame, mf, state = win(params, chunk, state)
+        online_logits_l.append(lg)
+        inst_l.append(inst)
+        frame_l.append(frame)
+        mf_l.append(mf)
+    online_logits = jnp.concatenate(online_logits_l, axis=0)  # (T', Q, K+1)
+    inst = jnp.concatenate(inst_l, axis=1)
+    frame = jnp.concatenate(frame_l, axis=1)
+    mf = jnp.concatenate(mf_l, axis=1)
+
+    refine_key = ("refine", inst.shape[1])
+    if refine_key not in window_fns:
+        @jax.jit
+        def refine(params, inst, frame, mf):
+            out = model.apply(params, inst, frame, mf, method=type(model).refine)
+            return out["pred_logits"][0], out["pred_masks"][0]
+
+        window_fns[refine_key] = refine
+    r_logits, r_masks = window_fns[refine_key](params, inst, frame, mf)
+
+    # class fusion: max of refined and online probabilities
+    probs = jax.nn.softmax(r_logits.mean(axis=0).astype(jnp.float32), axis=-1)
+    aux = jax.nn.softmax(online_logits.astype(jnp.float32), axis=-1).mean(axis=0)[:, :-1]
+    probs = probs.at[:, :-1].set(jnp.maximum(probs[:, :-1], aux))
+    fused_logits = jnp.log(jnp.clip(probs, 1e-20, 1.0))
+    return fused_logits, r_masks[:, :T]

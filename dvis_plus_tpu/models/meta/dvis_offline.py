@@ -88,6 +88,31 @@ class DVISOffline(nn.Module):
         )
         return seg_out, track_out, refine_out, new_state
 
+    def online_step(
+        self,
+        images: jnp.ndarray,  # (B, T, H, W, 3)
+        state: Optional[TrackerState] = None,
+    ):
+        """One streaming window of segmenter+tracker (run_window_inference
+        :1446-1490): returns the pieces the final refiner pass needs."""
+        B, T = images.shape[:2]
+        seg_out, track_out, new_state = self.online(images, state=state)
+        C2 = seg_out["pred_embds_without_norm"].shape[-1]
+        frame_embds = seg_out["pred_embds_without_norm"].reshape(B, T, -1, C2)
+        mf = seg_out["mask_features"]
+        mask_features = mf.reshape((B, T) + mf.shape[1:])
+        return (
+            track_out["pred_logits"],  # online logits (aux class fusion)
+            track_out["pred_embds"],  # instance embds
+            frame_embds,
+            mask_features,
+            new_state,
+        )
+
+    def refine(self, instance_embeds, frame_embeds, mask_features):
+        """Full-video refiner pass over accumulated window outputs (:1497)."""
+        return self.refiner(instance_embeds, frame_embeds, mask_features, training=False)
+
 
 def _flatten_clip(masks: jnp.ndarray) -> jnp.ndarray:
     """(..., T, H, W) -> (..., 1, T*H, W): the reference's trick of treating a

@@ -1,0 +1,175 @@
+"""Train / eval CLI for all close-vocabulary configs.
+
+Re-designs reference ``DVIS_Plus/train_net_video.py:318-329`` (detectron2
+``launch`` + ``DefaultTrainer``) as an explicit JAX loop:
+
+  python train_net_video.py --config-file configs/dvis_online_r50_ytvis19.yaml \
+      [--eval-only] [--resume] [key.path=value ...]
+
+Distributed: instead of ``--num-gpus`` process spawning, the device mesh is
+discovered from ``jax.devices()`` (all local chips; multi-host via
+``jax.distributed.initialize`` when JAX_COORDINATOR is set) and the batch is
+sharded over the mesh's data axis.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("dvis_plus_tpu")
+
+
+def build_model(cfg):
+    arch = cfg.model.meta_architecture
+    if arch in ("minvis", "ctvis"):
+        from dvis_plus_tpu.models.segmenter.segmenter import Segmenter
+
+        return Segmenter(cfg.model)
+    if arch == "dvis_online":
+        from dvis_plus_tpu.models.meta.dvis_online import DVISOnline
+
+        return DVISOnline(cfg.model)
+    if arch == "dvis_offline":
+        from dvis_plus_tpu.models.meta.dvis_offline import DVISOffline
+
+        return DVISOffline(cfg.model)
+    raise ValueError(arch)
+
+
+def init_params(cfg, model, rng):
+    T = cfg.input.sampling_frame_num
+    div = cfg.model.size_divisibility
+
+    def rup(x):
+        return ((x + div - 1) // div) * div
+
+    H = rup(max(cfg.input.min_size_train))
+    W = rup(cfg.input.max_size_train)
+    if cfg.model.meta_architecture in ("minvis", "ctvis"):
+        images = jnp.zeros((T, H, W, 3), jnp.float32)
+    else:
+        images = jnp.zeros((1, T, H, W, 3), jnp.float32)
+    return jax.jit(model.init)(rng, images)
+
+
+def do_train(cfg, args):
+    from dvis_plus_tpu.core import checkpoint as ckpt
+    from dvis_plus_tpu.data.build import build_combined_train_loader
+    from dvis_plus_tpu.data.datasets.ytvis import register_all_ytvis
+    from dvis_plus_tpu.engine.trainer import Batch, build_train_step
+    from dvis_plus_tpu.losses.targets import VideoTargets
+    from dvis_plus_tpu.parallel.mesh import build_mesh, shard_batch
+
+    register_all_ytvis(os.environ.get("DVIS_DATASETS", "datasets"))
+    model = build_model(cfg)
+    rng = jax.random.key(cfg.seed)
+    params = init_params(cfg, model, rng)
+    if cfg.weights:
+        params = ckpt.load_weights(cfg.weights, params)
+
+    train_step, init_state = build_train_step(cfg, model)
+    state = init_state(params)
+    start_step = 0
+    ckpt_dir = os.path.join(cfg.output_dir, "checkpoints")
+    if args.resume and os.path.isdir(ckpt_dir):
+        latest = sorted(os.listdir(ckpt_dir))
+        if latest:
+            state = ckpt.restore(os.path.join(ckpt_dir, latest[-1]), state)
+            start_step = int(state.step)
+            logger.info("resumed from step %d", start_step)
+
+    mesh = build_mesh(model_parallel_size=cfg.parallel.model_parallel_size)
+    loader = build_combined_train_loader(cfg, seed=cfg.seed)
+
+    log_every = 20
+    t0 = time.time()
+    for step in range(start_step, cfg.solver.max_iter):
+        raw = next(loader)
+        batch = Batch(
+            images=raw["images"],
+            targets=VideoTargets(
+                labels=raw["labels"],
+                masks=raw["masks"],
+                valid=raw["valid"],
+                frame_valid=raw["frame_valid"],
+            ),
+        )
+        batch = shard_batch(batch, mesh)
+        state, metrics = train_step(state, batch, rng)
+        if step % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = (time.time() - t0) / max(step - start_step + 1, 1)
+            logger.info("iter %d  total %.4f  (%.2f s/it)", step, m["total_loss"], dt)
+        if (step + 1) % cfg.solver.checkpoint_period == 0 or step + 1 == cfg.solver.max_iter:
+            path = os.path.join(ckpt_dir, f"step_{step + 1:07d}")
+            ckpt.save(path, jax.device_get(state))
+            logger.info("saved %s", path)
+    return state
+
+
+def do_eval(cfg, args):
+    from dvis_plus_tpu.core import checkpoint as ckpt
+    from dvis_plus_tpu.data.build import build_test_loader
+    from dvis_plus_tpu.data.catalog import get_metadata
+    from dvis_plus_tpu.data.datasets.ytvis import register_all_ytvis
+    from dvis_plus_tpu.engine.inference import run_vis_inference
+
+    register_all_ytvis(os.environ.get("DVIS_DATASETS", "datasets"))
+    model = build_model(cfg)
+    params = init_params(cfg, model, jax.random.key(0))
+    if cfg.weights:
+        params = ckpt.load_weights(cfg.weights, params)
+
+    results = {}
+    for dataset_name in cfg.datasets.test:
+        md = get_metadata(dataset_name)
+        from dvis_plus_tpu.evaluation.evaluators import YTVISEvaluator
+
+        evaluator = YTVISEvaluator(
+            dataset_name,
+            os.path.join(cfg.output_dir, "inference", dataset_name),
+            contiguous_to_dataset_id={
+                v: k for k, v in md.thing_dataset_id_to_contiguous_id.items()
+            },
+            gt_json=md.json_file,
+        )
+        loader = build_test_loader(cfg, dataset_name)
+        run_vis_inference(cfg, model, params, loader, evaluator)
+        results[dataset_name] = evaluator.evaluate()
+        logger.info("%s: %s", dataset_name, results[dataset_name])
+    print(json.dumps(results, indent=2))
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-file", default=None)
+    parser.add_argument("--eval-only", action="store_true")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    from dvis_plus_tpu.core.config import load_config, save_config
+
+    cfg = load_config(args.config_file, args.opts)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s: %(message)s"
+    )
+    save_config(cfg, os.path.join(cfg.output_dir, "config.yaml"))
+
+    if args.eval_only:
+        do_eval(cfg, args)
+    else:
+        do_train(cfg, args)
+
+
+if __name__ == "__main__":
+    main()
