@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from dvis_plus_tpu.losses.criterion import CriterionConfig, LayerOutputs, video_criterion
 from dvis_plus_tpu.losses.targets import VideoTargets
-from dvis_plus_tpu.ops.hungarian import hungarian
+from dvis_plus_tpu.ops.assignment import auction_lap
 
 
 def frame_fold_targets(targets: VideoTargets) -> VideoTargets:
@@ -78,8 +78,7 @@ def match_from_embds(tgt_embds: jnp.ndarray, cur_embds: jnp.ndarray) -> jnp.ndar
     cur = cur_embds / (jnp.linalg.norm(cur_embds, axis=1, keepdims=True) + 1e-12)
     tgt = tgt_embds / (jnp.linalg.norm(tgt_embds, axis=1, keepdims=True) + 1e-12)
     cost = 1.0 - tgt @ cur.T  # (Q_tgt, Q_cur)
-    q4row, _ = hungarian(cost)  # row t -> current query index
-    return q4row
+    return auction_lap(cost)  # row t -> current query index
 
 
 def minvis_post_processing(

@@ -38,7 +38,7 @@ from dvis_plus_tpu.models.segmenter.transformer_decoder import (
     MultiHeadAttention,
     SelfAttentionLayer,
 )
-from dvis_plus_tpu.ops.hungarian import hungarian
+from dvis_plus_tpu.ops.assignment import auction_lap
 
 
 class TrackerState(NamedTuple):
@@ -60,8 +60,9 @@ def match_embds(ref: jnp.ndarray, cur: jnp.ndarray) -> jnp.ndarray:
     cur_n = cur / (jnp.linalg.norm(cur, axis=1, keepdims=True) + 1e-6)
     C = 1.0 - cur_n @ ref_n.T  # (Q_cur, Q_ref)
     C = jnp.where(jnp.isnan(C), 0.0, C)
-    q4ref, _ = hungarian(C.T.astype(jnp.float32))  # (Q_ref,) -> current index
-    return q4ref
+    # auction solver: ~1 bidding round on well-separated cosine costs, vs a
+    # fixed O(Q) sequential Dijkstra sweep for the exact JV solver
+    return auction_lap(C.T.astype(jnp.float32))  # (Q_ref,) -> current index
 
 
 def _wa_noise(rng: jax.Array, cur_no_norm: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
