@@ -1,0 +1,182 @@
+"""DVIS-DAQ meta-architectures: frozen segmenter + Video Instance Cutter.
+
+Re-designs reference ``DVIS_DAQ_online`` / ``DVIS_DAQ_offline``
+(``DVIS_DAQ/dvis_daq/meta_architecture.py:33-1469``):
+
+- training forward (:241-343): progressive frame-count curriculum picks a
+  contiguous subclip (host-side, static per-length executables); frozen
+  segmenter; per-frame FrameMatcher precomputed for the whole clip (:300-313);
+  stage 2 -> 3 at ``increasing_step[0]`` (:316-319); cutter outputs + slot
+  outputs scored by the DAQ criterion with ``slot_`` prefixed copies
+  (:324-341);
+- streaming inference (:1169+): per-frame cutter steps with the CutterState
+  carry; per-slot logits averaged over frames a la post-processing; mask NMS
+  for new queries and top-K selection happen in
+  :func:`dvis_plus_tpu.engine.daq_inference`.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dvis_plus_tpu.core.config import ModelConfig
+from dvis_plus_tpu.losses.matcher import MatchCosts
+from dvis_plus_tpu.losses.targets import VideoTargets
+from dvis_plus_tpu.models.daq.cutter import CutterState, VideoInstanceCutter
+from dvis_plus_tpu.models.daq.matcher import FrameMatchResult, frame_match
+from dvis_plus_tpu.models.segmenter.segmenter import Segmenter
+
+
+class DAQOnline(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        self.segmenter = Segmenter(self.cfg)
+        d = self.cfg.daq
+        td = self.cfg.transformer_decoder
+        self.cutter = VideoInstanceCutter(
+            num_classes=self.cfg.num_classes,
+            hidden_dim=td.hidden_dim,
+            feedforward_dim=self.cfg.tracker.feedforward_dim,
+            num_heads=self.cfg.tracker.num_heads,
+            num_layers=self.cfg.tracker.num_layers,
+            mask_dim=td.hidden_dim,
+            num_new_ins=d.num_new_ins,
+            num_slots=d.num_slots,
+            num_track_slots=d.max_num_instances,
+            inference_select_thr=d.track_score_thr,
+            kick_out_frame_num=d.miss_tolerance,
+        )
+
+    def _segment(self, images: jnp.ndarray):
+        """(T, H, W, 3) -> per-frame segmenter outputs (stop-gradient)."""
+        seg_out = self.segmenter(images)
+        return jax.tree.map(jax.lax.stop_gradient, seg_out)
+
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (T, H, W, 3) one clip (reference asserts B==1)
+        targets: VideoTargets,  # batch dim squeezed: labels (N,), ...
+        rng: jax.Array,
+        stage: int = 2,
+    ):
+        """Training forward: returns (outputs, slot_outputs) per-frame lists
+        + the frame match results (for diagnostics)."""
+        T = images.shape[0]
+        seg_out = self._segment(images)
+        ccfg = self.cfg.criterion
+        costs = MatchCosts(
+            class_weight=ccfg.class_weight,
+            mask_weight=ccfg.mask_weight,
+            dice_weight=ccfg.dice_weight,
+            num_points=ccfg.train_num_points,
+        )
+
+        mf = seg_out["mask_features"]  # (T, H4, W4, Cm)
+        rngs = jax.random.split(rng, T + 1)
+        fms: List[FrameMatchResult] = []
+        for i in range(T):
+            fms.append(
+                frame_match(
+                    rngs[i],
+                    seg_out["pred_logits"][i],
+                    seg_out["pred_masks"][i],
+                    targets.labels,
+                    targets.masks[:, i],
+                    targets.frame_valid[:, i],
+                    select_thr=0.01,  # aux_inference_select_thr
+                    costs=costs,
+                )
+            )
+
+        outputs, slot_outputs = self.cutter(
+            seg_out["pred_embds_without_norm"],
+            mf,
+            seg_out["query_feat"],
+            seg_out["pred_masks"],
+            fms,
+            targets,
+            rngs[T],
+            stage=stage,
+            match_costs=costs,
+        )
+        return outputs, slot_outputs, fms
+
+    def segment_only(self, images: jnp.ndarray):
+        """Eval helper: per-frame segmenter outputs."""
+        return self._segment(images)
+
+    def cutter_step(
+        self,
+        state: CutterState,
+        frame_embeds: jnp.ndarray,
+        mask_feature: jnp.ndarray,
+        seg_query_feat: jnp.ndarray,
+        seg_pred_masks: jnp.ndarray,
+        seg_valid: jnp.ndarray,
+        first: bool = False,
+    ):
+        return self.cutter.inference_step(
+            state, frame_embeds, mask_feature, seg_query_feat, seg_pred_masks,
+            seg_valid, first=first,
+        )
+
+
+def daq_train_loss(
+    rng: jax.Array,
+    outputs: List[Dict],
+    slot_outputs: List[Dict],
+    targets: VideoTargets,
+    cfg,
+) -> Dict[str, jnp.ndarray]:
+    """Criterion on main + slot outputs; slot losses 'slot_' prefixed
+    (reference :333-341, slot targets start at frame 1)."""
+    from dvis_plus_tpu.engine.trainer import criterion_config
+    from dvis_plus_tpu.models.daq.criterion import daq_criterion
+
+    ccfg = criterion_config(cfg)
+    T = len(outputs)
+    r1, r2 = jax.random.split(rng)
+    losses = daq_criterion(r1, outputs, targets, list(range(T)), ccfg)
+    if slot_outputs:
+        slot_losses = daq_criterion(
+            r2, slot_outputs, targets, list(range(1, T)), ccfg
+        )
+        losses.update({f"slot_{k}": v for k, v in slot_losses.items()})
+    return losses
+
+
+def mask_nms_keep(
+    masks: jnp.ndarray,  # (S, H, W) mask logits, sorted context not required
+    scores: jnp.ndarray,  # (S,)
+    valid: jnp.ndarray,  # (S,)
+    thr: float,
+) -> jnp.ndarray:
+    """Sequential mask NMS (reference meta_architecture.py OVIS inference:
+    suppress lower-scoring masks that overlap a kept mask above thr)."""
+    S = masks.shape[0]
+    bin_masks = masks > 0.0
+    areas = bin_masks.reshape(S, -1).sum(axis=1)
+    inter = jnp.einsum(
+        "sa,ta->st",
+        bin_masks.reshape(S, -1).astype(jnp.float32),
+        bin_masks.reshape(S, -1).astype(jnp.float32),
+    )
+    ratio = inter / jnp.maximum(areas[:, None], 1.0)  # overlap of s inside t
+    order = jnp.argsort(-scores)
+
+    def body(i, keep):
+        s = order[i]
+
+        def check(j, acc):
+            t = order[j]
+            return acc | (keep[t] & (ratio[s, t] > thr))
+
+        suppressed = jax.lax.fori_loop(0, i, check, False)
+        return keep.at[s].set(valid[s] & ~suppressed)
+
+    keep = jnp.zeros((S,), bool)
+    return jax.lax.fori_loop(0, S, body, keep)

@@ -81,15 +81,21 @@ class MultiHeadAttention(nn.Module):
 
 
 class SelfAttentionLayer(nn.Module):
-    """Post-norm self-attention over queries (reference :17)."""
+    """Post-norm self-attention over queries (reference :17). Optional
+    additive mask (B, 1|H, S, S) blocks attention to padded/dead queries."""
 
     dim: int
     num_heads: int
 
     @nn.compact
-    def __call__(self, tgt: jnp.ndarray, query_pos: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        tgt: jnp.ndarray,
+        query_pos: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         q = tgt + query_pos
-        out = MultiHeadAttention(self.dim, self.num_heads, name="attn")(q, q, tgt)
+        out = MultiHeadAttention(self.dim, self.num_heads, name="attn")(q, q, tgt, mask)
         return nn.LayerNorm(name="norm")(tgt + out)
 
 
@@ -226,6 +232,7 @@ class MaskedTransformerDecoder(nn.Module):
             "pred_embds_without_norm": output,
             "pred_embds": embds,
             "mask_features": mask_features,
+            "query_feat": query_feat,  # learned query init (DAQ slot matching)
         }
         if self.reid_branch:
             reid = MLP(

@@ -1,0 +1,130 @@
+"""DVIS-DAQ: cutter training forward, slot losses, streaming inference."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvis_plus_tpu.core.config import Config
+from dvis_plus_tpu.losses.targets import VideoTargets
+from dvis_plus_tpu.models.daq.cutter import init_cutter_state
+from dvis_plus_tpu.models.meta.daq import DAQOnline, daq_train_loss, mask_nms_keep
+
+T, H, W, K, fQ, N = 3, 64, 64, 5, 8, 4
+Qc, NQ, NS = 6, 8, 2  # track slots, new-ins (== fQ), bg slots
+
+
+@pytest.fixture(scope="module")
+def daq_model():
+    cfg = Config()
+    cfg.model.num_classes = K
+    cfg.model.compute_dtype = "float32"
+    cfg.model.pixel_decoder.conv_dim = 32
+    cfg.model.pixel_decoder.mask_dim = 32
+    cfg.model.pixel_decoder.transformer_enc_layers = 1
+    cfg.model.pixel_decoder.transformer_dim_feedforward = 64
+    cfg.model.transformer_decoder.hidden_dim = 32
+    cfg.model.transformer_decoder.num_queries = fQ
+    cfg.model.transformer_decoder.nheads = 4
+    cfg.model.transformer_decoder.dim_feedforward = 64
+    cfg.model.transformer_decoder.dec_layers = 2
+    cfg.model.transformer_decoder.mask_dim = 32
+    cfg.model.tracker.num_layers = 2
+    cfg.model.tracker.feedforward_dim = 64
+    cfg.model.tracker.num_heads = 4
+    cfg.model.daq.num_new_ins = NQ
+    cfg.model.daq.num_slots = NS
+    cfg.model.daq.max_num_instances = Qc
+    cfg.model.criterion.train_num_points = 64
+    model = DAQOnline(cfg.model)
+    targets = make_targets()
+    images = jnp.zeros((T, H, W, 3), jnp.float32)
+    params = model.init(jax.random.key(0), images, targets, jax.random.key(1))
+    return cfg, model, params
+
+
+def make_targets():
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray(rng.randint(0, K, (N,)).astype(np.int32))
+    masks = np.zeros((N, T, H // 4, W // 4), bool)
+    fv = np.zeros((N, T), bool)
+    for n in range(N - 1):
+        for t in range(T):
+            if n == 1 and t == T - 1:
+                continue  # instance 1 disappears in last frame
+            masks[n, t, 2 + 3 * n : 6 + 3 * n, 2 + t : 10 + t] = True
+            fv[n, t] = True
+    return VideoTargets(
+        labels=labels,
+        masks=jnp.asarray(masks),
+        valid=jnp.asarray(fv.any(-1)),
+        frame_valid=jnp.asarray(fv),
+    )
+
+
+@pytest.mark.parametrize("stage", [2, 3])
+def test_daq_train_loss_grads(daq_model, stage):
+    cfg, model, params = daq_model
+    targets = make_targets()
+    images = jax.random.normal(jax.random.key(2), (T, H, W, 3))
+
+    @jax.jit
+    def loss_fn(p):
+        outputs, slot_outputs, _ = model.apply(
+            p, images, targets, jax.random.key(3), stage=stage
+        )
+        losses = daq_train_loss(jax.random.key(4), outputs, slot_outputs, targets, cfg)
+        return sum(jax.tree.leaves(losses)), losses
+
+    (val, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(val)), losses
+    assert any(k.startswith("slot_") for k in losses)
+    flat = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # cutter got gradient signal; segmenter is stop-gradiented
+    cutter_g = jax.tree.leaves(grads["params"]["cutter"])
+    assert sum(float(jnp.sum(jnp.abs(g))) for g in cutter_g) > 0
+    seg_g = jax.tree.leaves(grads["params"]["segmenter"])
+    assert sum(float(jnp.sum(jnp.abs(g))) for g in seg_g) == 0
+
+
+def test_daq_streaming_inference(daq_model):
+    cfg, model, params = daq_model
+    images = jax.random.normal(jax.random.key(5), (T, H, W, 3))
+    seg_out = model.apply(params, images, method=DAQOnline.segment_only)
+    C = seg_out["pred_embds_without_norm"].shape[-1]
+    state = init_cutter_state(Qc, C)
+
+    prob = jax.nn.softmax(seg_out["pred_logits"], axis=-1)
+    seg_scores = prob[..., :-1].max(axis=-1)
+
+    for i in range(T):
+        out, state = model.apply(
+            params,
+            state,
+            seg_out["pred_embds_without_norm"][i],
+            seg_out["mask_features"][i],
+            seg_out["query_feat"],
+            seg_out["pred_masks"][i],
+            seg_scores[i] > 0.0,  # untrained: accept all as "valid" frame 0
+            first=(i == 0),
+            method=DAQOnline.cutter_step,
+        )
+        assert out["pred_logits"].shape[-1] == K + 1
+        assert state.alive.shape == (Qc,)
+    # after 3 frames some slots should be alive (validity was permissive)
+    assert int(state.alive.sum()) > 0
+    # seq ids of alive slots are unique
+    ids = np.asarray(state.seq_id)[np.asarray(state.alive)]
+    assert len(set(ids.tolist())) == len(ids)
+
+
+def test_mask_nms():
+    S, Hm, Wm = 3, 8, 8
+    masks = np.full((S, Hm, Wm), -5.0, np.float32)
+    masks[0, :4, :4] = 5.0
+    masks[1, :4, :4] = 5.0  # duplicate of 0
+    masks[2, 4:, 4:] = 5.0  # disjoint
+    keep = mask_nms_keep(
+        jnp.asarray(masks), jnp.asarray([0.9, 0.5, 0.8]), jnp.ones((S,), bool), 0.6
+    )
+    assert bool(keep[0]) and not bool(keep[1]) and bool(keep[2])
