@@ -59,6 +59,8 @@ class BackboneConfig:
     # CLIP (MODEL.FC_CLIP.*)
     clip_model_name: str = "convnext_large_d_320"
     clip_embed_dim: int = 768
+    clip_depths: Tuple[int, ...] = (3, 3, 27, 3)  # ConvNeXt-L trunk
+    clip_dims: Tuple[int, ...] = (192, 384, 768, 1536)
     freeze: bool = False  # freeze the whole backbone (OV / stage-2+ training)
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
 

@@ -1,0 +1,226 @@
+"""OV-DVIS++ meta-architectures (open vocabulary).
+
+Re-designs ``DVIS_Plus/ov_dvis/meta_architecture_ov.py`` (``MinVIS_OV`` :59,
+``DVIS_online_OV`` :944, ``DVIS_offline_OV`` :1753):
+
+- segmenter = frozen CLIP ConvNeXt trunk + MSDeformAttn pixel decoder + the
+  OV masked-attention decoder (the FCCLIPHead stack,
+  mask_former_head.py:154);
+- per-dataset text classifiers with learned void embeddings (one per training
+  dataset, :152-157) are built host-side by
+  :mod:`dvis_plus_tpu.models.ov.text` and passed in as arrays;
+- tracker/refiner reuse the close-vocab modules with ``ov=True`` class heads;
+- inference ensembling (mask-pooled CLIP out-of-vocab head + geometric
+  ensemble + void renormalization, :566-645) is
+  :func:`ov_ensemble_inference`.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dvis_plus_tpu.core.config import ModelConfig
+from dvis_plus_tpu.models.ov.clip_backbone import CLIPBackbone
+from dvis_plus_tpu.models.ov.heads import (
+    geometric_ensemble,
+    get_classification_logits,
+    mask_pooling,
+)
+from dvis_plus_tpu.models.ov.ov_decoder import OVMaskedTransformerDecoder
+from dvis_plus_tpu.models.segmenter.pixel_decoder import MSDeformAttnPixelDecoder
+from dvis_plus_tpu.models.tracker.referring_tracker import ReferringTracker, TrackerState
+from dvis_plus_tpu.models.refiner.temporal_refiner import TemporalRefiner
+
+
+class OVSegmenter(nn.Module):
+    """CLIP backbone + pixel decoder + OV query decoder (FCCLIPHead)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.backbone = CLIPBackbone(
+            embed_dim=self.cfg.ov.clip_embed_dim,
+            depths=self.cfg.backbone.clip_depths,
+            dims=self.cfg.backbone.clip_dims,
+        )
+        self.pixel_decoder = MSDeformAttnPixelDecoder(
+            conv_dim=self.cfg.pixel_decoder.conv_dim,
+            mask_dim=self.cfg.pixel_decoder.mask_dim,
+            num_enc_layers=self.cfg.pixel_decoder.transformer_enc_layers,
+            n_heads=self.cfg.pixel_decoder.transformer_nheads,
+            d_ffn=self.cfg.pixel_decoder.transformer_dim_feedforward,
+            n_points=self.cfg.pixel_decoder.num_points,
+            transformer_in_features=self.cfg.pixel_decoder.transformer_in_features,
+        )
+        td = self.cfg.transformer_decoder
+        self.transformer_decoder = OVMaskedTransformerDecoder(
+            hidden_dim=td.hidden_dim,
+            num_queries=td.num_queries,
+            num_heads=td.nheads,
+            dim_feedforward=td.dim_feedforward,
+            num_layers=td.dec_layers,
+            mask_dim=td.mask_dim,
+            clip_embed_dim=self.cfg.ov.clip_embed_dim,
+        )
+
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (BT, H, W, 3)
+        text_classifier: jnp.ndarray,
+        num_templates: Sequence[int],
+    ) -> Dict[str, Any]:
+        compute_dtype = jnp.dtype(self.cfg.compute_dtype)
+        features = self.backbone(images.astype(compute_dtype))
+        # backbone is frozen (reference clip.py:33); also optimizer-masked
+        features = jax.tree.map(jax.lax.stop_gradient, features)
+        mask_features, multi_scale = self.pixel_decoder(
+            {k: v for k, v in features.items() if k.startswith("res")}
+        )
+        out = self.transformer_decoder(
+            [m.astype(compute_dtype) for m in multi_scale],
+            mask_features.astype(compute_dtype),
+            text_classifier,
+            num_templates,
+        )
+        out["clip_vis_dense"] = features["clip_vis_dense"]
+        if self.is_initializing():
+            # touch the visual head so init covers the pool_clip path
+            _ = self.backbone.visual_prediction(
+                jnp.zeros((1, features["clip_vis_dense"].shape[-1]), compute_dtype)
+            )
+        return out
+
+    def pool_clip(self, clip_dense: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+        """Out-of-vocab head: mask-pool dense CLIP features + visual head."""
+        pooled = mask_pooling(clip_dense, masks)
+        return self.backbone.visual_prediction(pooled)
+
+    def clip_logit_scale(self):
+        return self.backbone.logit_scale
+
+
+class DVISOnlineOV(nn.Module):
+    """OV segmenter + OV referring tracker (DVIS_online_OV :944)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.segmenter = OVSegmenter(self.cfg)
+        td = self.cfg.transformer_decoder
+        self.tracker = ReferringTracker(
+            num_classes=0,  # unused in OV mode
+            hidden_dim=td.hidden_dim,
+            feedforward_dim=self.cfg.tracker.feedforward_dim,
+            num_heads=self.cfg.tracker.num_heads,
+            num_layers=self.cfg.tracker.num_layers,
+            mask_dim=td.hidden_dim,
+            noise_ratio=self.cfg.tracker.noise_ratio,
+            ov=True,
+            clip_embed_dim=self.cfg.ov.clip_embed_dim,
+        )
+
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (B, T, H, W, 3)
+        text_classifier: jnp.ndarray,
+        num_templates: Tuple[int, ...],
+        state: Optional[TrackerState] = None,
+        rng: Optional[jax.Array] = None,
+        training: bool = False,
+    ):
+        B, T = images.shape[:2]
+        seg_out = self.segmenter(
+            images.reshape((B * T,) + images.shape[2:]), text_classifier, num_templates
+        )
+        seg_out = jax.tree.map(jax.lax.stop_gradient, seg_out)
+        C = seg_out["pred_embds"].shape[-1]
+        frame_embds = seg_out["pred_embds"].reshape(B, T, -1, C)
+        frame_embds_nn = seg_out["pred_embds_without_norm"].reshape(B, T, -1, C)
+        mf = seg_out["mask_features"]
+        mask_features = mf.reshape((B, T) + mf.shape[1:])
+        track_out, new_state = self.tracker(
+            frame_embds,
+            mask_features,
+            frame_embeds_no_norm=frame_embds_nn,
+            state=state,
+            rng=rng,
+            training=training,
+            text_classifier=text_classifier,
+            num_templates=num_templates,
+        )
+        return seg_out, track_out, new_state
+
+    def pool_clip(self, clip_dense, masks):
+        return self.segmenter.pool_clip(clip_dense, masks)
+
+
+class DVISOfflineOV(nn.Module):
+    """+ OV temporal refiner (DVIS_offline_OV :1753)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.online = DVISOnlineOV(self.cfg)
+        td = self.cfg.transformer_decoder
+        self.refiner = TemporalRefiner(
+            num_classes=0,
+            hidden_dim=td.hidden_dim,
+            feedforward_dim=self.cfg.refiner.feedforward_dim,
+            num_heads=self.cfg.refiner.num_heads,
+            num_layers=self.cfg.refiner.num_layers,
+            mask_dim=td.hidden_dim,
+            window=self.cfg.refiner.window_size,
+            ov=True,
+            clip_embed_dim=self.cfg.ov.clip_embed_dim,
+        )
+
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        text_classifier: jnp.ndarray,
+        num_templates: Tuple[int, ...],
+        state: Optional[TrackerState] = None,
+        rng: Optional[jax.Array] = None,
+        training: bool = False,
+    ):
+        B, T = images.shape[:2]
+        seg_out, track_out, new_state = self.online(
+            images, text_classifier, num_templates, state=state, rng=rng, training=False
+        )
+        track_out = jax.tree.map(jax.lax.stop_gradient, track_out)
+        C = seg_out["pred_embds_without_norm"].shape[-1]
+        frame_embds = seg_out["pred_embds_without_norm"].reshape(B, T, -1, C)
+        mf = seg_out["mask_features"]
+        mask_features = mf.reshape((B, T) + mf.shape[1:])
+        refine_out = self.refiner(
+            track_out["pred_embds"],
+            frame_embds,
+            mask_features,
+            training=training,
+            text_classifier=text_classifier,
+            num_templates=num_templates,
+        )
+        return seg_out, track_out, refine_out, new_state
+
+
+def ov_ensemble_inference(
+    in_vocab_logits: jnp.ndarray,  # (T, Q, K+1) from the model
+    pooled_clip_embeds: jnp.ndarray,  # (T, Q, Cc) pool_clip output
+    text_classifier: jnp.ndarray,
+    num_templates: Sequence[int],
+    logit_scale: jnp.ndarray,
+    category_overlapping: jnp.ndarray,  # (K,)
+    alpha: float = 0.4,
+    beta: float = 0.8,
+) -> jnp.ndarray:
+    """Final OV logits (reference :566-645): out-of-vocab CLIP logits +
+    geometric ensemble + void renormalization. Returns (T, Q, K+1) log-probs."""
+    out_logits = get_classification_logits(
+        pooled_clip_embeds, text_classifier, logit_scale, num_templates
+    )
+    return geometric_ensemble(
+        in_vocab_logits, out_logits, category_overlapping, alpha, beta
+    )

@@ -61,6 +61,8 @@ class TemporalRefiner(nn.Module):
     num_layers: int = 6
     mask_dim: int = 256
     window: int = 5  # eval-time mask-head chunking
+    ov: bool = False  # CLIP class head (reference TemporalRefiner_OV)
+    clip_embed_dim: int = 768
 
     @nn.compact
     def __call__(
@@ -69,6 +71,8 @@ class TemporalRefiner(nn.Module):
         frame_embeds: jnp.ndarray,  # (B, T, Q, C) segmenter queries (no-norm)
         mask_features: jnp.ndarray,  # (B, T, H, W, mask_dim)
         training: bool = False,
+        text_classifier=None,
+        num_templates=None,
     ) -> Dict[str, jnp.ndarray]:
         B, T, Q, C = instance_embeds.shape
 
@@ -101,7 +105,6 @@ class TemporalRefiner(nn.Module):
         emit = outs if training else outs[-1:]
 
         decoder_norm = nn.LayerNorm(name="decoder_norm")
-        class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
         mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
         activation_proj = nn.Dense(1, name="activation_proj")
 
@@ -109,12 +112,41 @@ class TemporalRefiner(nn.Module):
         # activation-weighted temporal pooling for classification (:196-210)
         act = jax.nn.softmax(activation_proj(x), axis=2)  # (L', B, T, Q, 1)
         fused = jnp.sum(x * act, axis=2, keepdims=True)  # (L', B, 1, Q, C)
-        logits = class_embed(jnp.broadcast_to(fused, x.shape))  # (L', B, T, Q, K+1)
 
         membd = mask_embed(x)  # (L', B, T, Q, mask_dim)
         masks = jnp.einsum(
             "lbtqc,bthwc->lbqthw", membd, mask_features, preferred_element_type=jnp.float32
         )
+
+        if self.ov:
+            # video-level pixel-weighted mask pooling + CLIP classification
+            # (reference TemporalRefiner_OV.windows_prediction)
+            from dvis_plus_tpu.models.ov.heads import get_classification_logits
+
+            assert text_classifier is not None and num_templates is not None
+            m = jax.lax.stop_gradient((masks > 0.0).astype(jnp.float32))
+            # (L', B, Q, T, H, W) x (B, T, H, W, Cm) -> (L', B, Q, Cm)
+            pooled = jnp.einsum("lbqthw,bthwc->lbqc", m, mask_features.astype(jnp.float32))
+            denom = m.sum(axis=(-1, -2, -3))[..., None] + 1e-8
+            pooled = (pooled / denom).astype(x.dtype)
+            pooled = nn.LayerNorm(name="maskpool_norm")(pooled)
+            pooled = nn.Dense(C, name="maskpool_proj")(pooled)  # (L', B, Q, C)
+            cls_emb = MLP(C, self.clip_embed_dim, num_layers=3, name="class_embed_ov")(
+                pooled[:, :, None] + fused
+            )  # (L', B, 1, Q, Cc)
+            scale = self.param(
+                "logit_scale", nn.initializers.constant(jnp.log(1 / 0.07)), ()
+            )
+            logits1 = get_classification_logits(
+                cls_emb, text_classifier, scale, num_templates
+            )
+            logits = jnp.broadcast_to(
+                logits1, (x.shape[0], x.shape[1], x.shape[2]) + logits1.shape[-2:]
+            )
+        else:
+            logits = nn.Dense(self.num_classes + 1, name="class_embed")(
+                jnp.broadcast_to(fused, x.shape)
+            )  # (L', B, T, Q, K+1)
 
         out = {
             "pred_logits": logits[-1],

@@ -165,7 +165,13 @@ class _FrameStep(nn.Module):
 
 
 class ReferringTracker(nn.Module):
-    """Frame-recurrent referring tracker with explicit streaming carry."""
+    """Frame-recurrent referring tracker with explicit streaming carry.
+
+    ``ov=True`` swaps the (K+1)-way class head for the FC-CLIP head: merged
+    concat(reference, output) -> Dense + mask-pooled features -> CLIP-space
+    classification against a text classifier (reference
+    ``ReferringTracker_noiser_OV``, ov_dvis/video_dvis_modules_ov.py:28,
+    prediction :288-313)."""
 
     num_classes: int
     hidden_dim: int = 256
@@ -174,6 +180,8 @@ class ReferringTracker(nn.Module):
     num_layers: int = 6
     mask_dim: int = 256
     noise_ratio: float = 0.5
+    ov: bool = False
+    clip_embed_dim: int = 768
 
     @nn.compact
     def __call__(
@@ -184,6 +192,8 @@ class ReferringTracker(nn.Module):
         state: Optional[TrackerState] = None,  # None = video start
         rng: Optional[jax.Array] = None,
         training: bool = False,
+        text_classifier: Optional[jnp.ndarray] = None,
+        num_templates: Optional[Tuple[int, ...]] = None,
     ) -> Tuple[Dict[str, jnp.ndarray], TrackerState]:
         B, T, Q, C = frame_embeds.shape
         if frame_embeds_no_norm is None:
@@ -222,18 +232,44 @@ class ReferringTracker(nn.Module):
 
         emit = outputs if training else outputs[:, -1:]
         decoder_norm = nn.LayerNorm(name="decoder_norm")
-        class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
         mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
 
         x = decoder_norm(emit)  # (T, L', B, Q, C)
         cls_in = jnp.concatenate(
             [jnp.broadcast_to(references[:, None], x.shape), x], axis=-1
         )
-        logits = class_embed(cls_in)  # (T, L', B, Q, K+1)
         membd = mask_embed(x)
         masks = jnp.einsum(
             "tlbqc,bthwc->lbqthw", membd, mask_features, preferred_element_type=jnp.float32
         )
+        if self.ov:
+            from dvis_plus_tpu.models.ov.heads import get_classification_logits, mask_pooling
+
+            assert text_classifier is not None and num_templates is not None
+            Tn, Ln, Bn, Qn, _ = x.shape
+            merged = nn.Dense(C, name="merge")(cls_in)  # (T, L', B, Q, C)
+            # pool the tracker's mask features under each predicted mask
+            mf_flat = jnp.broadcast_to(
+                mask_features[None], (Ln,) + mask_features.shape
+            ).reshape(Ln * Bn * Tn, *mask_features.shape[2:])
+            masks_flat = jnp.transpose(masks, (0, 1, 3, 2, 4, 5)).reshape(
+                Ln * Bn * Tn, Qn, *masks.shape[-2:]
+            )
+            pooled = mask_pooling(mf_flat, masks_flat)  # (LBT, Q, Cm)
+            pooled = pooled.reshape(Ln, Bn, Tn, Qn, -1).transpose(2, 0, 1, 3, 4)
+            pooled = nn.LayerNorm(name="maskpool_norm")(pooled)
+            pooled = nn.Dense(C, name="maskpool_proj")(pooled)
+            cls_emb = MLP(C, self.clip_embed_dim, num_layers=3, name="class_embed_ov")(
+                pooled + merged
+            )
+            scale = self.param(
+                "logit_scale", nn.initializers.constant(jnp.log(1 / 0.07)), ()
+            )
+            logits = get_classification_logits(
+                cls_emb, text_classifier, scale, num_templates
+            )
+        else:
+            logits = nn.Dense(self.num_classes + 1, name="class_embed")(cls_in)
         logits = jnp.transpose(logits, (1, 2, 0, 3, 4))  # (L', B, T, Q, K+1)
 
         out = {

@@ -1,0 +1,137 @@
+"""OV-DVIS++: classification logits, ensembling, OV meta-arch forward."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvis_plus_tpu.core.config import Config
+from dvis_plus_tpu.models.ov.heads import (
+    geometric_ensemble,
+    get_classification_logits,
+    mask_pooling,
+)
+from dvis_plus_tpu.models.ov.text import (
+    VILD_TEMPLATES,
+    build_text_classifier,
+    category_overlapping_mask,
+    expand_prompts,
+)
+
+K, Tpl, Cc = 3, 4, 16
+
+
+def test_classification_logits_template_max():
+    rng = np.random.RandomState(0)
+    # 3 classes x 4 templates + 2 void rows
+    tc = rng.randn(K * Tpl + 2, Cc).astype(np.float32)
+    x = rng.randn(5, Cc).astype(np.float32)
+    nt = [Tpl] * K + [2]
+    logits = get_classification_logits(
+        jnp.asarray(x), jnp.asarray(tc), jnp.asarray(0.0), nt
+    )
+    assert logits.shape == (5, K + 1)
+    # manual check for class 0
+    xn = x / np.linalg.norm(x, axis=-1, keepdims=True)
+    tn = tc / np.linalg.norm(tc, axis=-1, keepdims=True)
+    raw = xn @ tn.T
+    np.testing.assert_allclose(
+        np.asarray(logits[:, 0]), raw[:, :Tpl].max(-1), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits[:, -1]), raw[:, -2:].max(-1), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_mask_pooling():
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 8, 8, 4).astype(np.float32))
+    mask = jnp.full((1, 2, 8, 8), -1.0)
+    mask = mask.at[0, 0, :4, :4].set(1.0)
+    pooled = mask_pooling(x, mask)
+    np.testing.assert_allclose(
+        np.asarray(pooled[0, 0]), np.asarray(x[0, :4, :4]).mean(axis=(0, 1)), rtol=1e-5
+    )
+    # empty mask -> ~0
+    assert float(jnp.abs(pooled[0, 1]).max()) < 1e-4
+
+
+def test_geometric_ensemble_semantics():
+    rng = np.random.RandomState(2)
+    in_l = jnp.asarray(rng.randn(5, K + 1).astype(np.float32))
+    out_l = jnp.asarray(rng.randn(5, K + 1).astype(np.float32))
+    overlap = jnp.asarray([1.0, 0.0, 1.0])
+    fused = geometric_ensemble(in_l, out_l, overlap, alpha=0.0, beta=1.0)
+    assert fused.shape == (5, K + 1)
+    probs = np.exp(np.asarray(fused))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+    # alpha=0 on seen classes -> ratio follows in-vocab; beta=1 unseen -> out
+    in_p = np.asarray(jax.nn.softmax(in_l, -1))[:, :-1]
+    out_p = np.asarray(jax.nn.softmax(out_l, -1))[:, :-1]
+    ratio = probs[:, :K] / probs[:, :K].sum(-1, keepdims=True)
+    expect_unnorm = np.stack([in_p[:, 0], out_p[:, 1], in_p[:, 2]], -1)
+    expect = expect_unnorm / expect_unnorm.sum(-1, keepdims=True)
+    np.testing.assert_allclose(ratio, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_text_classifier_builder():
+    classes = [["cat", "kitty"], ["dog"]]
+    def encode(prompts):
+        rng = np.random.RandomState(abs(hash(tuple(prompts))) % 2**31)
+        return rng.randn(len(prompts), Cc).astype(np.float32)
+
+    void = np.zeros((1, Cc), np.float32)
+    mat, nt = build_text_classifier(encode, classes, void)
+    assert mat.shape == (2 * len(VILD_TEMPLATES) + 1, Cc)
+    assert nt == [len(VILD_TEMPLATES)] * 2 + [1]
+    rows, nt2 = expand_prompts(classes)
+    assert rows[0] == [VILD_TEMPLATES[0].format("cat"), VILD_TEMPLATES[0].format("kitty")]
+
+    ov = category_overlapping_mask([["cat"]], [["cat", "feline"], ["dog"]])
+    np.testing.assert_array_equal(ov, [1.0, 0.0])
+
+
+@pytest.fixture(scope="module")
+def tiny_ov_model():
+    cfg = Config()
+    cfg.model.compute_dtype = "float32"
+    cfg.model.ov.enabled = True
+    cfg.model.ov.clip_embed_dim = Cc
+    cfg.model.pixel_decoder.conv_dim = 32
+    cfg.model.pixel_decoder.mask_dim = 32
+    cfg.model.pixel_decoder.transformer_enc_layers = 1
+    cfg.model.pixel_decoder.transformer_dim_feedforward = 64
+    cfg.model.pixel_decoder.transformer_in_features = ("res3", "res4", "res5")
+    cfg.model.transformer_decoder.hidden_dim = 32
+    cfg.model.transformer_decoder.num_queries = 8
+    cfg.model.transformer_decoder.nheads = 4
+    cfg.model.transformer_decoder.dim_feedforward = 64
+    cfg.model.transformer_decoder.dec_layers = 2
+    cfg.model.transformer_decoder.mask_dim = 32
+    cfg.model.tracker.num_layers = 1
+    cfg.model.tracker.feedforward_dim = 64
+    cfg.model.tracker.num_heads = 4
+    return cfg
+
+
+def test_ov_online_forward(tiny_ov_model):
+    from dvis_plus_tpu.models.meta.ov import DVISOnlineOV
+
+    cfg = tiny_ov_model
+    cfg.model.backbone.clip_depths = (1, 1, 1, 1)
+    cfg.model.backbone.clip_dims = (8, 16, 32, 64)
+    model = DVISOnlineOV(cfg.model)
+    rng = np.random.RandomState(3)
+    tc = jnp.asarray(rng.randn(K * Tpl + 1, Cc).astype(np.float32))
+    nt = tuple([Tpl] * K + [1])
+    images = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+
+    params = model.init(jax.random.key(0), images, tc, nt)
+    seg_out, track_out, state = model.apply(params, images, tc, nt)
+    assert seg_out["pred_logits"].shape == (2, 8, K + 1)
+    assert track_out["pred_logits"].shape == (1, 2, 8, K + 1)
+    assert "clip_vis_dense" in seg_out
+    pooled = model.apply(
+        params, seg_out["clip_vis_dense"],
+        jnp.swapaxes(track_out["pred_masks"][0], 0, 1),
+        method=DVISOnlineOV.pool_clip,
+    )
+    assert pooled.shape == (2, 8, Cc)
