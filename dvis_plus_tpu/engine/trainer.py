@@ -85,14 +85,48 @@ def build_loss_fn(cfg: Config, model) -> Callable:
     half_iter = cfg.solver.max_iter // 2
 
     if arch in ("minvis", "ctvis"):
-        from dvis_plus_tpu.models.meta.minvis import minvis_train_loss
+        from dvis_plus_tpu.models.meta.minvis import frame_fold_targets, minvis_train_loss
+
+        use_ctvis = arch == "ctvis"
 
         def loss_fn(params, batch: Batch, rng, step, memory):
             B, T = batch.images.shape[:2]
+            r1, r2, r3 = jax.random.split(rng, 3)
             out = model.apply(
                 params, batch.images.reshape((B * T,) + batch.images.shape[2:])
             )
-            losses = minvis_train_loss(rng, out, batch.targets, ccfg)
+            losses = minvis_train_loss(r1, out, batch.targets, ccfg)
+            if use_ctvis:
+                # per-frame matching feeds the contrastive tracking plugin
+                # (reference CTMinVIS, dvis_Plus/ctvis.py:30)
+                from dvis_plus_tpu.losses.ctvis import ctvis_reid_loss
+                from dvis_plus_tpu.losses.matcher import MatchCosts, video_hungarian_match
+
+                ft = frame_fold_targets(batch.targets)
+                q4g = video_hungarian_match(
+                    r2,
+                    out["pred_logits"],
+                    out["pred_masks"][:, :, None],
+                    ft,
+                    MatchCosts(
+                        class_weight=ccfg.class_weight,
+                        mask_weight=ccfg.mask_weight,
+                        dice_weight=ccfg.dice_weight,
+                        num_points=ccfg.num_points,
+                    ),
+                )  # (B*T, N)
+                N = q4g.shape[1]
+                reid = out.get("pred_reid_embed", out["pred_embds"])
+                Cr = reid.shape[-1]
+                cl = ctvis_reid_loss(
+                    r3,
+                    reid.reshape(B, T, -1, Cr),
+                    q4g.reshape(B, T, N),
+                    batch.targets.frame_valid,
+                )
+                c = cfg.model.criterion
+                losses["loss_reid"] = c.reid_weight * cl["loss_reid"]
+                losses["loss_aux_reid"] = c.aux_reid_weight * cl["loss_aux_reid"]
             return sum(jax.tree.leaves(losses)), (losses, memory)
 
         return loss_fn
