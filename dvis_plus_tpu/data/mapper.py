@@ -39,10 +39,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def decode_segmentation(seg, h: int, w: int) -> np.ndarray:
-    """RLE dict or polygon list -> (h, w) uint8 mask."""
+    """RLE dict / polygon list / pre-decoded {"_raw": mask} -> (h, w) uint8."""
     if seg is None:
         return np.zeros((h, w), np.uint8)
     if isinstance(seg, dict):
+        if "_raw" in seg:  # pre-decoded (panoptic/semantic mappers)
+            return seg["_raw"]
         return rle_codec.decode(seg)
     # polygon: list of [x0, y0, x1, y1, ...]
     mask = np.zeros((h, w), np.uint8)

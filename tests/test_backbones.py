@@ -122,3 +122,22 @@ def test_swin_nondivisible_input():
     params = model.init(jax.random.key(0), x)
     out = model.apply(params, x)
     assert out["res2"].shape[1:3] == (17, 24)  # ceil(67/4), ceil(93/4)
+
+
+def test_vit_adapter_tiny():
+    from dvis_plus_tpu.models.backbones.vit_adapter import ViTAdapter
+    import jax
+
+    model = ViTAdapter(
+        embed_dim=32, depth=4, num_heads=4, patch_size=16, conv_inplane=8,
+        deform_num_heads=4, interaction_indexes=((0, 1), (2, 3)),
+    )
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out["res2"].shape == (1, 16, 16, 32)  # stride 4
+    assert out["res3"].shape == (1, 8, 8, 32)
+    assert out["res4"].shape == (1, 4, 4, 32)
+    assert out["res5"].shape == (1, 2, 2, 32)
+    for v in out.values():
+        assert np.all(np.isfinite(np.asarray(v)))
