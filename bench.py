@@ -53,15 +53,20 @@ def main():
     rng = np.random.RandomState(0)
     frames = jnp.asarray(rng.rand(1, T_w, H, W, 3).astype(np.float32))
 
+    def sync(x):
+        # scalar device->host pull: reliable full sync (block_until_ready can
+        # return early through the axon relay)
+        return float(jnp.sum(x[:, :, ::64, ::64].astype(jnp.float32)))
+
     # warmup / compile
     logits, masks, embds, state = window_step(params, frames, state)
-    jax.block_until_ready(masks)
+    sync(masks)
 
     n_windows = 6
     start = time.perf_counter()
     for _ in range(n_windows):
         logits, masks, embds, state = window_step(params, frames, state)
-    jax.block_until_ready(masks)
+    sync(masks)
     elapsed = time.perf_counter() - start
 
     fps = (n_windows * T_w) / elapsed

@@ -101,3 +101,19 @@ def test_gradients_match_oracle():
     # sampling-location grads: grid_sample subgradient choice at exact integer
     # coords can differ; inputs avoid exact integers with prob 1
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-6, atol=1e-8)
+
+
+def test_fast_matches_reference_impl():
+    """Stacked-table production op vs the straightforward gather oracle."""
+    from dvis_plus_tpu.ops.msdeform import ms_deform_attn_reference
+
+    value, loc, w = make_inputs(seed=5)
+    a = ms_deform_attn(
+        jnp.asarray(value, jnp.float32), SHAPES,
+        jnp.asarray(loc, jnp.float32), jnp.asarray(w, jnp.float32),
+    )
+    b = ms_deform_attn_reference(
+        jnp.asarray(value, jnp.float32), SHAPES,
+        jnp.asarray(loc, jnp.float32), jnp.asarray(w, jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
