@@ -1,0 +1,139 @@
+"""Video segmentation demo: run a trained model on a folder of frames and
+write color-overlaid visualizations.
+
+Re-designs reference ``DVIS_Plus/demo_video/demo.py`` and
+``demo_long_video.py`` (and the OV variant's ``--thing_classes/--stuff_classes``
+custom vocabulary): frames stream through the model in windows with the
+tracker carry kept alive (the ``keep=True`` protocol,
+``demo_long_video.py:120-126``), so arbitrarily long videos run in constant
+memory.
+
+  python demo_video.py --config-file cfg.yaml --input frames_dir \
+      --output out_dir [--windows-size 10] [--confidence-threshold 0.3] \
+      [--vocabulary "cat,dog"]            # OV models: custom class list
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def color_for(i: int) -> np.ndarray:
+    rng = np.random.RandomState(i * 7919 + 13)
+    return rng.randint(64, 255, (3,), dtype=np.int32)
+
+
+def visualize(frame_rgb, masks, scores, labels, ids, class_names, thr):
+    import cv2
+
+    vis = frame_rgb.astype(np.float32)
+    for m, s, l, i in zip(masks, scores, labels, ids):
+        if s < thr:
+            continue
+        color = color_for(int(i)).astype(np.float32)
+        vis = np.where(m[..., None], 0.55 * vis + 0.45 * color, vis)
+        ys, xs = np.nonzero(m)
+        if len(ys):
+            name = class_names[l] if l < len(class_names) else str(l)
+            cv2.putText(
+                vis, f"{name} {s:.2f}", (int(xs.min()), max(int(ys.min()) - 4, 10)),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.5, tuple(int(c) for c in color), 1,
+            )
+    return vis.astype(np.uint8)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-file", required=True)
+    parser.add_argument("--input", required=True, help="directory of frames")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--windows-size", type=int, default=None)
+    parser.add_argument("--confidence-threshold", type=float, default=0.3)
+    parser.add_argument("--vocabulary", default=None, help="OV: comma-separated classes")
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from dvis_plus_tpu.core.config import load_config
+    from dvis_plus_tpu.core import checkpoint as ckpt
+    from dvis_plus_tpu.data.catalog import get_metadata, is_registered
+    from dvis_plus_tpu.data.mapper import YTVISDatasetMapper
+    from dvis_plus_tpu.engine.inference import _online_video, _minvis_video
+    from dvis_plus_tpu.models.meta.minvis import inference_video
+    from train_net_video import build_model, init_params
+
+    cfg = load_config(args.config_file, args.opts)
+    if args.windows_size:
+        cfg.test.window_size = args.windows_size
+    model = build_model(cfg)
+    params = init_params(cfg, model, jax.random.key(0))
+    if cfg.weights:
+        params = ckpt.load_weights(cfg.weights, params)
+
+    frame_files = sorted(
+        os.path.join(args.input, f)
+        for f in os.listdir(args.input)
+        if f.lower().endswith((".jpg", ".png", ".jpeg"))
+    )
+    assert frame_files, f"no frames in {args.input}"
+    first = cv2.imread(frame_files[0])
+    H0, W0 = first.shape[:2]
+
+    record = {
+        "file_names": frame_files,
+        "height": H0,
+        "width": W0,
+        "length": len(frame_files),
+        "video_id": 0,
+    }
+    mapper = YTVISDatasetMapper(cfg, is_train=False)
+    sample = mapper(record, seed=0)
+    images = sample["images"]
+
+    t0 = time.time()
+    fns = {}
+    if cfg.model.meta_architecture in ("minvis", "ctvis"):
+        logits, masks = _minvis_video(cfg, model, params, images, fns, cfg.test.window_size)
+    else:
+        logits, masks = _online_video(cfg, model, params, images, fns, cfg.test.window_size)
+
+    h, w = [int(v) for v in sample["image_size"]]
+    res = inference_video(
+        logits, masks[:, : len(frame_files)],
+        img_size=(h, w), output_size=(H0, W0),
+        padded_size=images.shape[1:3], topk=cfg.test.max_num,
+    )
+    dt = time.time() - t0
+    print(f"{len(frame_files)} frames in {dt:.1f}s ({len(frame_files)/dt:.2f} fps)")
+
+    names = None
+    for ds in cfg.datasets.test:
+        if is_registered(ds):
+            names = get_metadata(ds).thing_classes
+            break
+    if args.vocabulary:
+        names = [c.strip() for c in args.vocabulary.split(",")]
+    names = names or [str(i) for i in range(cfg.model.num_classes)]
+
+    os.makedirs(args.output, exist_ok=True)
+    scores = np.asarray(res.scores)
+    labels = np.asarray(res.labels)
+    out_masks = np.asarray(res.masks)
+    for t, path in enumerate(frame_files):
+        frame = cv2.imread(path)[:, :, ::-1]
+        vis = visualize(
+            frame, out_masks[:, t], scores, labels, np.arange(len(scores)),
+            names, args.confidence_threshold,
+        )
+        cv2.imwrite(os.path.join(args.output, os.path.basename(path)), vis[:, :, ::-1])
+    print(f"wrote {len(frame_files)} visualizations to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -123,8 +123,12 @@ class YTVISDatasetMapper:
         else:
             frame_idx = list(range(length))
 
+        preloaded = record.get("_frames")  # in-memory RGB frames (pseudo-video)
         frames = []
         for fi in frame_idx:
+            if preloaded is not None:
+                frames.append(preloaded[fi])
+                continue
             img = cv2.imread(record["file_names"][fi], cv2.IMREAD_COLOR)
             if img is None:
                 img = np.zeros((record["height"], record["width"], 3), np.uint8)

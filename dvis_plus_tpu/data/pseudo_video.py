@@ -1,0 +1,114 @@
+"""COCO image -> pseudo-video clip training support.
+
+Re-designs reference ``CocoClipDatasetMapper``
+(``DVIS_Plus/dvis_Plus/data_video/dataset_mapper.py:380+``) and the pseudo
+augmentation builder (``augmentation.py`` build_pseudo_augmentation): a single
+COCO-style image record is repeated T times and each repeat receives a
+*different* geometric jitter (rotation / scale-crop), simulating motion; the
+instance identity is the annotation id so the clip has consistent tracks.
+Category ids can be remapped into the video dataset's space
+(COCO_TO_* tables in :mod:`dvis_plus_tpu.data.datasets.categories`).
+"""
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dvis_plus_tpu.core.config import Config
+from dvis_plus_tpu.data.augmentation import (
+    RandomFlip,
+    RandomRotation,
+    ResizeShortestEdge,
+    apply_clip_transforms,
+)
+from dvis_plus_tpu.data.mapper import YTVISDatasetMapper, decode_segmentation
+
+
+class CocoPseudoVideoMapper:
+    """COCO image record -> pseudo-video clip arrays (static shapes)."""
+
+    def __init__(self, cfg: Config, is_train: bool = True, category_map: Optional[Dict[int, int]] = None):
+        self.base = YTVISDatasetMapper(cfg, is_train=is_train)
+        self.cfg = cfg
+        self.num_frames = cfg.input.sampling_frame_num
+        self.category_map = category_map  # official coco id -> contiguous video id
+        self.rotation = RandomRotation((-15, 15), prob=0.5)
+
+    def __call__(self, record: dict, seed: Optional[int] = None) -> Dict[str, np.ndarray]:
+        import cv2
+
+        rng = random.Random(seed)
+        img = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
+        if img is None:
+            img = np.zeros((record.get("height", 480), record.get("width", 640), 3), np.uint8)
+        H0, W0 = img.shape[:2]
+
+        anns = []
+        for a in record.get("annotations", []):
+            cat = a["category_id"]
+            if self.category_map is not None:
+                if cat not in self.category_map:
+                    continue
+                cat = self.category_map[cat]
+            anns.append(
+                {
+                    "id": a.get("id", len(anns)),
+                    "category_id": cat,
+                    "segmentation": a.get("segmentation"),
+                    "iscrowd": a.get("iscrowd", 0),
+                }
+            )
+
+        # synthesize per-frame jitter: same base image, per-frame rotation
+        frames, per_frame_anns = [], []
+        for t in range(self.num_frames):
+            rot = self.rotation.sample(H0, W0, rng)
+            f = rot.apply_image(img[:, :, ::-1])
+            frame_anns = []
+            for a in anns:
+                m = decode_segmentation(a["segmentation"], H0, W0)
+                m = rot.apply_mask(m)
+                frame_anns.append(
+                    {
+                        "id": a["id"],
+                        "category_id": a["category_id"],
+                        "segmentation": {"_raw": m},
+                        "iscrowd": a["iscrowd"],
+                    }
+                )
+            frames.append(f)  # RGB
+            per_frame_anns.append(frame_anns)
+
+        # dimensions may differ per frame after rotation-expansion; unify on
+        # the max canvas before handing to the base mapper
+        mh = max(f.shape[0] for f in frames)
+        mw = max(f.shape[1] for f in frames)
+        frames = [
+            np.pad(f, ((0, mh - f.shape[0]), (0, mw - f.shape[1]), (0, 0))) for f in frames
+        ]
+        per_frame_anns = [
+            [
+                dict(a, segmentation={"_raw": np.pad(
+                    a["segmentation"]["_raw"],
+                    ((0, mh - a["segmentation"]["_raw"].shape[0]),
+                     (0, mw - a["segmentation"]["_raw"].shape[1])),
+                )})
+                for a in fa
+            ]
+            for fa in per_frame_anns
+        ]
+
+        # rotation may change per-frame canvas sizes; the mapper needs uniform
+        # frames — the padding above already unified them
+        rec = {
+            "file_names": [record["file_name"]] * self.num_frames,
+            "height": record.get("height", H0),
+            "width": record.get("width", W0),
+            "length": self.num_frames,
+            "video_id": record.get("image_id", 0),
+            "annotations": per_frame_anns,
+            "_frames": frames,  # in-memory RGB frames consumed by the mapper
+        }
+        return self.base(rec, seed=seed)

@@ -88,6 +88,9 @@ def do_train(cfg, args):
     mesh = build_mesh(model_parallel_size=cfg.parallel.model_parallel_size)
     loader = build_combined_train_loader(cfg, seed=cfg.seed)
 
+    from dvis_plus_tpu.utils.events import EventWriter
+
+    writer = EventWriter(cfg.output_dir)
     log_every = 20
     t0 = time.time()
     for step in range(start_step, cfg.solver.max_iter):
@@ -104,9 +107,8 @@ def do_train(cfg, args):
         batch = shard_batch(batch, mesh)
         state, metrics = train_step(state, batch, rng)
         if step % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            dt = (time.time() - t0) / max(step - start_step + 1, 1)
-            logger.info("iter %d  total %.4f  (%.2f s/it)", step, m["total_loss"], dt)
+            writer.write(step, {k: float(v) for k, v in metrics.items()})
+            writer.log_console(step)
         if (step + 1) % cfg.solver.checkpoint_period == 0 or step + 1 == cfg.solver.max_iter:
             path = os.path.join(ckpt_dir, f"step_{step + 1:07d}")
             ckpt.save(path, jax.device_get(state))
