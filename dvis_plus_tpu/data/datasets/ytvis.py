@@ -111,3 +111,34 @@ def register_all_ytvis(root: str = "datasets") -> None:
         register_ytvis_instances(
             name, os.path.join(root, json_rel), os.path.join(root, img_rel), classes
         )
+
+    # LV-VIS (open-vocabulary; classes come from the json, reference
+    # ov_dvis/data_video/lvvis.py) — registered with json-derived categories
+    for split in ("train", "val"):
+        jf = os.path.join(root, f"lvvis/{split}_instances.json")
+        register_dataset(
+            f"lvvis_{split}",
+            lambda j=jf, r=os.path.join(root, f"lvvis/{split}/JPEGImages"): load_ytvis_json(j, r),
+            json_file=jf,
+            thing_classes=[],
+            thing_dataset_id_to_contiguous_id={},
+            evaluator_type="ytvis",
+        )
+
+    # class-agnostic VOS / MOTS splits (cocovid jsons from
+    # tools/convert_vos_to_cocovid.py; reference DAQ vos/mots tasks)
+    for name, sub in (
+        ("mose_train", "mose/train.json"),
+        ("mose_val", "mose/val.json"),
+        ("ytvos_train", "ytvos/train.json"),
+        ("ytvos_val", "ytvos/val.json"),
+    ):
+        jf = os.path.join(root, sub)
+        register_dataset(
+            name,
+            lambda j=jf, r=os.path.join(root, os.path.dirname(sub), "JPEGImages"): load_ytvis_json(j, r),
+            json_file=jf,
+            thing_classes=["object"],
+            thing_dataset_id_to_contiguous_id={1: 0},
+            evaluator_type="vos",
+        )

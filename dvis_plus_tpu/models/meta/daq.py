@@ -149,6 +149,60 @@ def daq_train_loss(
     return losses
 
 
+class DAQOffline(nn.Module):
+    """DAQ online + temporal refiner over top-K tracked slots
+    (reference ``DVIS_DAQ_offline`` meta_architecture.py:868-1268:
+    OFFLINE_TOPK_NUM instances from the cutter feed the padding-masked
+    refiner; final logits fuse refined and online class probabilities)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.online = DAQOnline(self.cfg)
+        td = self.cfg.transformer_decoder
+        from dvis_plus_tpu.models.refiner.temporal_refiner import TemporalRefiner
+
+        self.refiner = TemporalRefiner(
+            num_classes=self.cfg.num_classes,
+            hidden_dim=td.hidden_dim,
+            feedforward_dim=self.cfg.refiner.feedforward_dim,
+            num_heads=self.cfg.refiner.num_heads,
+            num_layers=self.cfg.refiner.num_layers,
+            mask_dim=td.hidden_dim,
+            window=self.cfg.refiner.window_size,
+        )
+
+    def segment_only(self, images):
+        return self.online._segment(images)
+
+    def cutter_step(self, *args, **kwargs):
+        return self.online.cutter.inference_step(*args, **kwargs)
+
+    def refine(
+        self,
+        slot_embeds: jnp.ndarray,  # (1, T, Qc, C) per-frame tracked embeds
+        frame_embeds: jnp.ndarray,  # (1, T, fQ, C) segmenter queries
+        mask_features: jnp.ndarray,  # (1, T, H, W, Cm)
+        topk_mask: jnp.ndarray,  # (1, Qc) offline top-K selection
+    ):
+        return self.refiner(
+            slot_embeds, frame_embeds, mask_features, training=False,
+            instance_mask=topk_mask,
+        )
+
+
+def offline_topk_mask(
+    mean_scores: jnp.ndarray,  # (Qc,) per-slot mean class score over frames
+    alive: jnp.ndarray,  # (Qc,)
+    topk: int,
+) -> jnp.ndarray:
+    """Select OFFLINE_TOPK_NUM alive slots by score (reference :606-607)."""
+    Qc = mean_scores.shape[0]
+    masked = jnp.where(alive, mean_scores, -1.0)
+    thresh = jax.lax.top_k(masked, min(topk, Qc))[0][-1]
+    return alive & (masked >= thresh)
+
+
 def mask_nms_keep(
     masks: jnp.ndarray,  # (S, H, W) mask logits, sorted context not required
     scores: jnp.ndarray,  # (S,)

@@ -73,8 +73,18 @@ class TemporalRefiner(nn.Module):
         training: bool = False,
         text_classifier=None,
         num_templates=None,
+        instance_mask: Optional[jnp.ndarray] = None,  # (B, Q) False = padded
     ) -> Dict[str, jnp.ndarray]:
+        """``instance_mask`` supports variable tracked-instance counts under
+        static shapes (the DAQ refiner's padding-mask path, reference
+        ``DVIS_DAQ/dvis_daq/refiner.py:229-243``): padded slots are hidden
+        from object self-attention and zeroed in the outputs."""
         B, T, Q, C = instance_embeds.shape
+
+        obj_mask = None
+        if instance_mask is not None:
+            key_ok = jnp.repeat(instance_mask, T, axis=0)  # (B*T, Q)
+            obj_mask = jnp.where(key_ok[:, None, None, :], 0.0, -1e9)
 
         output = instance_embeds
         layer_outputs = []
@@ -89,10 +99,12 @@ class TemporalRefiner(nn.Module):
             # 3) object self-attention: batch (B*T), sequence Q
             x = x.reshape(B, Q, T, C).swapaxes(1, 2).reshape(B * T, Q, C)
             x = SelfAttentionLayer(C, self.num_heads, name=f"obj_self_{i}")(
-                x, jnp.zeros_like(x)
+                x, jnp.zeros_like(x), obj_mask
             )
-            # 4) cross-attention to the same frame's segmenter queries
-            mem = frame_embeds.reshape(B * T, Q, C)
+            # 4) cross-attention to the same frame's segmenter queries (their
+            # count fQ may differ from the refined instance count Q — DAQ
+            # offline refines Qc tracked slots against fQ frame queries)
+            mem = frame_embeds.reshape(B * T, frame_embeds.shape[2], C)
             x = CrossAttentionLayer(C, self.num_heads, name=f"cross_{i}")(
                 x, mem, jnp.zeros_like(mem), jnp.zeros_like(x)
             )

@@ -137,6 +137,53 @@ class GroupNormConv(nn.Module):
         return nn.relu(y) if self.relu else y
 
 
+class FPNPixelDecoder(nn.Module):
+    """Plain lateral FPN pixel decoder (reference ``BasePixelDecoder``,
+    ``DVIS_Plus/mask2former/modeling/pixel_decoder/fpn.py:38``): top-down
+    1x1-lateral + 3x3-output convs from res5 to res2, mask features at stride
+    4; optionally a transformer encoder on res5 first
+    (``TransformerEncoderPixelDecoder`` :205)."""
+
+    conv_dim: int = 256
+    mask_dim: int = 256
+    transformer_enc_layers: int = 0  # >0 => TransformerEncoderPixelDecoder
+    n_heads: int = 8
+    d_ffn: int = 2048
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray]):
+        from dvis_plus_tpu.models.segmenter.transformer_decoder import (
+            FFNLayer,
+            SelfAttentionLayer,
+        )
+
+        names = ["res5", "res4", "res3", "res2"]
+        y = None
+        outs = []
+        for i, name in enumerate(names):
+            x = features[name]
+            lateral = GroupNormConv(self.conv_dim, kernel=1, name=f"adapter_{i}")(x)
+            if y is None:
+                y = lateral
+                if self.transformer_enc_layers > 0:
+                    B, H5, W5, C = y.shape
+                    tokens = y.reshape(B, H5 * W5, C)
+                    pe = position_embedding_sine_2d(H5, W5, C // 2).reshape(1, H5 * W5, C)
+                    for li in range(self.transformer_enc_layers):
+                        tokens = SelfAttentionLayer(C, self.n_heads, name=f"enc_self_{li}")(
+                            tokens, pe.astype(tokens.dtype)
+                        )
+                        tokens = FFNLayer(C, self.d_ffn, name=f"enc_ffn_{li}")(tokens)
+                    y = tokens.reshape(B, H5, W5, C)
+            else:
+                up = jax.image.resize(y, lateral.shape, method="nearest")
+                y = lateral + up
+            y = GroupNormConv(self.conv_dim, kernel=3, relu=True, name=f"layer_{i}")(y)
+            outs.append(y)
+        mask_features = nn.Conv(self.mask_dim, (1, 1), name="mask_features")(outs[-1])
+        return mask_features, outs[:3]
+
+
 class MSDeformAttnPixelDecoder(nn.Module):
     """Inputs: dict res2..res5 NHWC. Output: (mask_features, multi_scale)."""
 

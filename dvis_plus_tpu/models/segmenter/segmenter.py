@@ -44,15 +44,23 @@ class Segmenter(nn.Module):
 
     def setup(self):
         self.backbone = build_backbone(self.cfg)
-        self.pixel_decoder = MSDeformAttnPixelDecoder(
-            conv_dim=self.cfg.pixel_decoder.conv_dim,
-            mask_dim=self.cfg.pixel_decoder.mask_dim,
-            num_enc_layers=self.cfg.pixel_decoder.transformer_enc_layers,
-            n_heads=self.cfg.pixel_decoder.transformer_nheads,
-            d_ffn=self.cfg.pixel_decoder.transformer_dim_feedforward,
-            n_points=self.cfg.pixel_decoder.num_points,
-            transformer_in_features=self.cfg.pixel_decoder.transformer_in_features,
-        )
+        if self.cfg.pixel_decoder.name == "fpn":
+            from dvis_plus_tpu.models.segmenter.pixel_decoder import FPNPixelDecoder
+
+            self.pixel_decoder = FPNPixelDecoder(
+                conv_dim=self.cfg.pixel_decoder.conv_dim,
+                mask_dim=self.cfg.pixel_decoder.mask_dim,
+            )
+        else:
+            self.pixel_decoder = MSDeformAttnPixelDecoder(
+                conv_dim=self.cfg.pixel_decoder.conv_dim,
+                mask_dim=self.cfg.pixel_decoder.mask_dim,
+                num_enc_layers=self.cfg.pixel_decoder.transformer_enc_layers,
+                n_heads=self.cfg.pixel_decoder.transformer_nheads,
+                d_ffn=self.cfg.pixel_decoder.transformer_dim_feedforward,
+                n_points=self.cfg.pixel_decoder.num_points,
+                transformer_in_features=self.cfg.pixel_decoder.transformer_in_features,
+            )
         td = self.cfg.transformer_decoder
         self.transformer_decoder = MaskedTransformerDecoder(
             num_classes=self.cfg.num_classes,

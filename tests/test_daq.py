@@ -128,3 +128,22 @@ def test_mask_nms():
         jnp.asarray(masks), jnp.asarray([0.9, 0.5, 0.8]), jnp.ones((S,), bool), 0.6
     )
     assert bool(keep[0]) and not bool(keep[1]) and bool(keep[2])
+
+
+def test_daq_offline_refine(daq_model):
+    from dvis_plus_tpu.models.meta.daq import DAQOffline
+
+    cfg, _, _ = daq_model
+    cfg2 = cfg
+    model = DAQOffline(cfg2.model)
+    import jax as _jax
+    Tn, C = 3, 32
+    inst = jnp.asarray(np.random.RandomState(0).randn(1, Tn, Qc, C).astype(np.float32))
+    frame = jnp.zeros((1, Tn, fQ, C))
+    mf = jnp.zeros((1, Tn, H // 4, W // 4, C))
+    topk = jnp.asarray([[True, True, False, False, True, False]])
+    # init only the refiner path via the refine method
+    params = model.init(_jax.random.key(0), inst, frame, mf, topk, method=DAQOffline.refine)
+    out = model.apply(params, inst, frame, mf, topk, method=DAQOffline.refine)
+    assert out["pred_logits"].shape[-1] == K + 1
+    assert out["pred_masks"].shape[1] == Qc

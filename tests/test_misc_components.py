@@ -1,0 +1,130 @@
+"""FPN pixel decoder, SOT/VOS helpers, pseudo-video mapper, instance eval,
+DAQ offline top-K, refiner padding masks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvis_plus_tpu.utils import rle as rle_codec
+
+
+def test_fpn_pixel_decoder():
+    from dvis_plus_tpu.models.segmenter.pixel_decoder import FPNPixelDecoder
+
+    feats = {
+        "res2": jnp.zeros((1, 16, 16, 32)),
+        "res3": jnp.zeros((1, 8, 8, 64)),
+        "res4": jnp.zeros((1, 4, 4, 128)),
+        "res5": jnp.zeros((1, 2, 2, 256)),
+    }
+    model = FPNPixelDecoder(conv_dim=32, mask_dim=32, transformer_enc_layers=1, d_ffn=64, n_heads=4)
+    params = model.init(jax.random.key(0), feats)
+    mf, ms = model.apply(params, feats)
+    assert mf.shape == (1, 16, 16, 32)
+    assert [m.shape[1] for m in ms] == [2, 4, 8]
+
+
+def test_vos_first_frame_assignment():
+    from dvis_plus_tpu.data.mapper_sot import assign_tracks_to_first_frame_gt
+
+    H = W = 16
+    pred = np.zeros((3, H, W), bool)
+    pred[0, :8, :8] = True
+    pred[1, 8:, 8:] = True
+    pred[2, :4, 8:] = True
+    gt = np.zeros((2, H, W), bool)
+    gt[0, 8:, 8:] = True  # matches pred 1
+    gt[1, :8, :8] = True  # matches pred 0
+    assign = assign_tracks_to_first_frame_gt(pred, gt)
+    assert assign[0] == 1 and assign[1] == 0
+
+
+def test_pseudo_video_mapper(tmp_path):
+    import cv2
+
+    from dvis_plus_tpu.core.config import Config
+    from dvis_plus_tpu.data.pseudo_video import CocoPseudoVideoMapper
+
+    img_path = str(tmp_path / "img.jpg")
+    cv2.imwrite(img_path, np.random.RandomState(0).randint(0, 255, (60, 80, 3), np.uint8))
+    m = np.zeros((60, 80), np.uint8)
+    m[10:30, 20:50] = 1
+    e = rle_codec.encode(m)
+    record = {
+        "file_name": img_path, "height": 60, "width": 80, "image_id": 7,
+        "annotations": [
+            {"id": 1, "category_id": 3,
+             "segmentation": {"size": e["size"], "counts": e["counts"].decode()}},
+        ],
+    }
+    cfg = Config()
+    cfg.input.sampling_frame_num = 3
+    cfg.input.sampling_frame_range = 1
+    cfg.input.min_size_train = (32,)
+    cfg.input.max_size_train = 64
+    cfg.model.criterion.max_num_instances = 4
+    mapper = CocoPseudoVideoMapper(cfg, is_train=True)
+    out = mapper(record, seed=1)
+    assert out["images"].shape[0] == 3
+    assert out["valid"].sum() == 1
+    assert out["labels"][0] == 3
+    assert out["masks"][0].any()
+
+
+def test_instance_eval_t1():
+    from dvis_plus_tpu.evaluation.instance_evaluation import evaluate_instances
+
+    m = np.zeros((16, 16), np.uint8)
+    m[:8, :8] = 1
+    e = rle_codec.encode(m)
+    seg = {"size": e["size"], "counts": e["counts"].decode()}
+    gt = [{"image_id": 1, "category_id": 1, "segmentation": seg}]
+    pred = [{"image_id": 1, "category_id": 1, "score": 0.9, "segmentation": seg}]
+    res = evaluate_instances(gt, pred)
+    assert res["AP"] > 0.99
+
+
+def test_offline_topk_and_refiner_padding():
+    from dvis_plus_tpu.models.meta.daq import offline_topk_mask
+    from dvis_plus_tpu.models.refiner.temporal_refiner import TemporalRefiner
+
+    scores = jnp.asarray([0.9, 0.1, 0.8, 0.5, 0.2])
+    alive = jnp.asarray([True, True, True, False, True])
+    mask = offline_topk_mask(scores, alive, topk=2)
+    assert bool(mask[0]) and bool(mask[2]) and not bool(mask[3])
+
+    model = TemporalRefiner(num_classes=3, hidden_dim=16, feedforward_dim=32,
+                            num_heads=4, num_layers=1, mask_dim=16)
+    B, T, Q = 1, 2, 5
+    inst = jnp.asarray(np.random.RandomState(0).randn(B, T, Q, 16).astype(np.float32))
+    frame = jnp.zeros((B, T, Q, 16))
+    mf = jnp.zeros((B, T, 8, 8, 16))
+    params = model.init(jax.random.key(0), inst, frame, mf)
+    im = jnp.asarray([[True, True, False, False, True]])
+    out = model.apply(params, inst, frame, mf, instance_mask=im)
+    assert np.all(np.isfinite(np.asarray(out["pred_masks"], np.float32)))
+    # padded slots don't influence live ones: change a padded slot's input
+    inst2 = inst.at[0, :, 2].set(100.0)
+    out2 = model.apply(params, inst2, frame, mf, instance_mask=im)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_masks"][0, 0], np.float32),
+        np.asarray(out2["pred_masks"][0, 0], np.float32), atol=1e-5,
+    )
+
+
+def test_semantic_tta_flip_consistency():
+    from dvis_plus_tpu.evaluation.instance_evaluation import semantic_tta
+
+    H, W, K = 8, 12, 3
+    rng = np.random.RandomState(0)
+    base = rng.rand(H, W, K).astype(np.float32)
+
+    def predict(img):
+        # deterministic "model": probs depend only on pixel position parity
+        return base if img[0, 0, 0] == marker else base[:, ::-1]
+
+    marker = 7
+    img = np.zeros((H, W, 3), np.uint8)
+    img[0, 0, 0] = marker
+    out = semantic_tta(predict, img, flip=True)
+    # flip variant returns base[:, ::-1] then un-flips -> identical; mean == base
+    np.testing.assert_allclose(out, base, atol=1e-6)
