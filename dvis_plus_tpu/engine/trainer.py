@@ -172,6 +172,22 @@ def build_loss_fn(cfg: Config, model) -> Callable:
 
         return loss_fn
 
+    if arch == "daq_online":
+        from dvis_plus_tpu.models.meta.daq import daq_train_loss
+
+        def loss_fn(params, batch: Batch, rng, step, memory, stage: int = 2):
+            # reference: B == 1 clip per device (track_module.py:311); squeeze
+            images = batch.images[0]
+            targets = jax.tree.map(lambda x: x[0], batch.targets)
+            r1, r2 = jax.random.split(rng)
+            outputs, slot_outputs, _ = model.apply(
+                params, images, targets, r1, stage=stage
+            )
+            losses = daq_train_loss(r2, outputs, slot_outputs, targets, cfg)
+            return sum(jax.tree.leaves(losses)), (losses, memory)
+
+        return loss_fn
+
     raise ValueError(f"Unknown meta architecture: {arch}")
 
 
@@ -180,12 +196,16 @@ def build_train_step(cfg: Config, model, optimizer=None):
     donate the state for in-place HBM updates."""
     optimizer = optimizer or build_optimizer(cfg)
     loss_fn = build_loss_fn(cfg, model)
+    is_daq = cfg.model.meta_architecture == "daq_online"
+    daq_stage_switch = (
+        (cfg.model.daq.steps or (cfg.solver.max_iter,))[0] if is_daq else None
+    )
 
-    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+    def _train_step(state: TrainState, batch: Batch, rng: jax.Array, **loss_kw):
         rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (total, (losses, new_memory)), grads = grad_fn(
-            state.params, batch, rng, state.step, state.memory
+            state.params, batch, rng, state.step, state.memory, **loss_kw
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -212,4 +232,21 @@ def build_train_step(cfg: Config, model, optimizer=None):
             memory=memory,
         )
 
-    return jax.jit(train_step, donate_argnums=(0,)), init_state
+    if is_daq:
+        # stage 2 -> 3 flips ONCE at increasing_step[0]
+        # (reference meta_architecture.py:316-319); each stage is its own
+        # compiled executable, picked by a host-side step counter
+        jitted = {
+            s: jax.jit(lambda st, b, r, _s=s: _train_step(st, b, r, stage=_s))
+            for s in (2, 3)
+        }
+        counter = {"n": 0}
+
+        def train_step(state, batch, rng):
+            stage = 2 if counter["n"] < daq_stage_switch else 3
+            counter["n"] += 1
+            return jitted[stage](state, batch, rng)
+
+        return train_step, init_state
+
+    return jax.jit(_train_step, donate_argnums=(0,)), init_state

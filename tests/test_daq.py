@@ -147,3 +147,24 @@ def test_daq_offline_refine(daq_model):
     out = model.apply(params, inst, frame, mf, topk, method=DAQOffline.refine)
     assert out["pred_logits"].shape[-1] == K + 1
     assert out["pred_masks"].shape[1] == Qc
+
+
+def test_daq_build_train_step(daq_model):
+    from dvis_plus_tpu.engine.trainer import Batch, build_train_step
+
+    cfg, model, params = daq_model
+    cfg.model.meta_architecture = "daq_online"
+    cfg.model.freeze = ("segmenter",)
+    cfg.model.daq.steps = (1,)  # stage 3 from step 1
+    cfg.solver.max_iter = 4
+    targets = make_targets()
+    batch = Batch(
+        images=jax.random.normal(jax.random.key(0), (1, T, H, W, 3)),
+        targets=jax.tree.map(lambda x: x[None], targets),
+    )
+    train_step, init_state = build_train_step(cfg, model)
+    state = init_state(params)
+    state, m1 = train_step(state, batch, jax.random.key(1))   # stage 2
+    state, m2 = train_step(state, batch, jax.random.key(1))   # stage 3
+    assert np.isfinite(float(m1["total_loss"]))
+    assert np.isfinite(float(m2["total_loss"]))

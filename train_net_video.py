@@ -40,6 +40,14 @@ def build_model(cfg):
         from dvis_plus_tpu.models.meta.dvis_offline import DVISOffline
 
         return DVISOffline(cfg.model)
+    if arch == "daq_online":
+        from dvis_plus_tpu.models.meta.daq import DAQOnline
+
+        return DAQOnline(cfg.model)
+    if arch == "daq_offline":
+        from dvis_plus_tpu.models.meta.daq import DAQOffline
+
+        return DAQOffline(cfg.model)
     raise ValueError(arch)
 
 
@@ -52,10 +60,23 @@ def init_params(cfg, model, rng):
 
     H = rup(max(cfg.input.min_size_train))
     W = rup(cfg.input.max_size_train)
-    if cfg.model.meta_architecture in ("minvis", "ctvis"):
+    arch = cfg.model.meta_architecture
+    if arch in ("minvis", "ctvis"):
         images = jnp.zeros((T, H, W, 3), jnp.float32)
-    else:
-        images = jnp.zeros((1, T, H, W, 3), jnp.float32)
+        return jax.jit(model.init)(rng, images)
+    if arch.startswith("daq"):
+        from dvis_plus_tpu.losses.targets import VideoTargets
+
+        N = cfg.model.criterion.max_num_instances
+        targets = VideoTargets(
+            labels=jnp.zeros((N,), jnp.int32),
+            masks=jnp.zeros((N, T, H // 4, W // 4), bool),
+            valid=jnp.zeros((N,), bool).at[0].set(True),
+            frame_valid=jnp.zeros((N, T), bool).at[0].set(True),
+        )
+        images = jnp.zeros((T, H, W, 3), jnp.float32)
+        return jax.jit(model.init)(rng, images, targets, jax.random.key(1))
+    images = jnp.zeros((1, T, H, W, 3), jnp.float32)
     return jax.jit(model.init)(rng, images)
 
 
