@@ -1,0 +1,62 @@
+"""Local-window Pallas deformable sampling vs the exact op (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvis_plus_tpu.ops.msdeform import ms_deform_attn
+from dvis_plus_tpu.ops.msdeform_pallas import (
+    _build_corner_table,
+    deform_sample_level_pallas,
+)
+
+
+def _run_case(B, M, D, P, H, W, tile, radius, seed=0):
+    rng = np.random.RandomState(seed)
+    Lq = H * W
+    value = jnp.asarray(rng.randn(B, H * W, M, D).astype(np.float32))
+    qi = np.arange(Lq) // W + 0.5
+    qj = np.arange(Lq) % W + 0.5
+    refpix = np.stack([qj, qi], -1)[None, :, None, None, :]
+    # offsets inside the clamp radius: the local op is exact there
+    offpix = rng.uniform(-radius + 0.5, radius - 0.5, (B, Lq, M, P, 2)).astype(np.float32)
+    loc = ((refpix + offpix) / np.array([W, H])).astype(np.float32)
+    attn = rng.rand(B, Lq, M, P).astype(np.float32)
+    attn /= attn.sum(-1, keepdims=True)
+
+    exact = ms_deform_attn(
+        value, [(H, W)], jnp.asarray(loc)[:, :, :, None], jnp.asarray(attn)[:, :, :, None]
+    ).reshape(B, Lq, M, D)
+    table = _build_corner_table(value, H, W)
+    got = deform_sample_level_pallas(
+        table, jnp.asarray(loc), jnp.asarray(attn), (H, W),
+        radius=radius, tile=tile, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), rtol=1e-4, atol=1e-5)
+
+
+def test_single_level_matches_exact():
+    _run_case(B=1, M=2, D=8, P=3, H=32, W=16, tile=(8, 8), radius=8)
+
+
+def test_single_level_bigger_tiles():
+    _run_case(B=1, M=2, D=8, P=4, H=32, W=32, tile=(16, 8), radius=8, seed=1)
+
+
+def test_out_of_radius_samples_are_clamped_not_wrong():
+    """Samples beyond the radius clamp to the window edge (documented
+    deviation); in-radius queries stay exact."""
+    rng = np.random.RandomState(2)
+    B, M, D, P, H, W = 1, 1, 4, 1, 16, 16
+    Lq = H * W
+    value = jnp.asarray(rng.randn(B, H * W, M, D).astype(np.float32))
+    qi = np.arange(Lq) // W + 0.5
+    qj = np.arange(Lq) % W + 0.5
+    loc = (np.stack([qj, qi], -1) / np.array([W, H]))[None, :, None, None, :]
+    loc = np.tile(loc, (B, 1, M, P, 1)).astype(np.float32)
+    attn = np.ones((B, Lq, M, P), np.float32)
+    table = _build_corner_table(value, H, W)
+    got = deform_sample_level_pallas(
+        table, jnp.asarray(loc), jnp.asarray(attn), (H, W),
+        radius=4, tile=(8, 8), interpret=True,
+    )
+    assert np.all(np.isfinite(np.asarray(got)))
