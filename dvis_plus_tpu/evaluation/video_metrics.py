@@ -83,31 +83,50 @@ def vpq_single_window(
     return iou_sum, tp, fp, fn
 
 
+def _vpq_video(args):
+    (pc, pi), (gc, gi), wlen, num_classes, ignore = args
+    iou_sum = np.zeros(num_classes)
+    tp = np.zeros(num_classes)
+    fp = np.zeros(num_classes)
+    fn = np.zeros(num_classes)
+    T = pc.shape[0]
+    for s in range(0, max(T - wlen + 1, 1)):
+        e = min(s + wlen, T)
+        i, t, f, n = vpq_single_window(
+            pc[s:e], pi[s:e], gc[s:e], gi[s:e], num_classes, ignore
+        )
+        iou_sum += i
+        tp += t
+        fp += f
+        fn += n
+    return iou_sum, tp, fp, fn
+
+
 def vpq_eval(
     preds: List[Tuple[np.ndarray, np.ndarray]],  # per video (cls, id) (T,H,W)
     gts: List[Tuple[np.ndarray, np.ndarray]],
     num_classes: int,
     windows: Sequence[int] = (1, 6, 11, 16),  # k=0,5,10,15 -> window len k+1
     ignore: int = 255,
+    num_workers: int = 0,
 ) -> Dict[str, float]:
+    """``num_workers > 0`` fans videos out over a process pool (the reference
+    scores VPQ with multiprocessing over videos, eval_vpq_vspw.py:219-295)."""
     results = {}
     all_vpq = []
     for wlen in windows:
-        iou_sum = np.zeros(num_classes)
-        tp = np.zeros(num_classes)
-        fp = np.zeros(num_classes)
-        fn = np.zeros(num_classes)
-        for (pc, pi), (gc, gi) in zip(preds, gts):
-            T = pc.shape[0]
-            for s in range(0, max(T - wlen + 1, 1)):
-                e = min(s + wlen, T)
-                i, t, f, n = vpq_single_window(
-                    pc[s:e], pi[s:e], gc[s:e], gi[s:e], num_classes, ignore
-                )
-                iou_sum += i
-                tp += t
-                fp += f
-                fn += n
+        jobs = [(p, g, wlen, num_classes, ignore) for p, g in zip(preds, gts)]
+        if num_workers > 0 and len(jobs) > 1:
+            import multiprocessing as mp
+
+            with mp.Pool(num_workers) as pool:
+                parts = pool.map(_vpq_video, jobs)
+        else:
+            parts = [_vpq_video(j) for j in jobs]
+        iou_sum = sum(p[0] for p in parts)
+        tp = sum(p[1] for p in parts)
+        fp = sum(p[2] for p in parts)
+        fn = sum(p[3] for p in parts)
         denom = tp + fp / 2 + fn / 2
         present = denom > 0
         pq = np.where(present, iou_sum / np.maximum(denom, 1e-9), 0.0)

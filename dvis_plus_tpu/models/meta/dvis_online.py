@@ -55,6 +55,7 @@ class DVISOnline(nn.Module):
             num_layers=self.cfg.tracker.num_layers,
             mask_dim=td.hidden_dim,
             noise_ratio=self.cfg.tracker.noise_ratio,
+            noise_mode=self.cfg.tracker.noise_mode,
         )
 
     def __call__(

@@ -65,6 +65,12 @@ def match_embds(ref: jnp.ndarray, cur: jnp.ndarray) -> jnp.ndarray:
     return auction_lap(C.T.astype(jnp.float32))  # (Q_ref,) -> current index
 
 
+def _rs_noise(rng: jax.Array, cur_no_norm: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random-shuffle noise (noiser.py:12-16)."""
+    perm = jax.random.permutation(rng, cur_no_norm.shape[0])
+    return perm, cur_no_norm[perm]
+
+
 def _wa_noise(rng: jax.Array, cur_no_norm: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Weighted-average shuffle noise (noiser.py:18-28). (Q, C) -> (idx, init)."""
     Q = cur_no_norm.shape[0]
@@ -76,6 +82,20 @@ def _wa_noise(rng: jax.Array, cur_no_norm: jnp.ndarray) -> Tuple[jnp.ndarray, jn
     return ret_idx, noise_init
 
 
+def _cc_noise(rng: jax.Array, cur_no_norm: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Channel-crossover noise (noiser.py:30-41): per query, a random channel
+    split point mixes its own embedding with a shuffled one."""
+    Q, C = cur_no_norm.shape
+    k1, k2 = jax.random.split(rng)
+    split = jax.random.randint(k1, (Q, 1), 0, C)
+    chan = jnp.arange(C)[None, :]
+    keep = (chan < split).astype(cur_no_norm.dtype)
+    perm, shuffled = _rs_noise(k2, cur_no_norm)
+    mixed = cur_no_norm * keep + shuffled * (1.0 - keep)
+    ret_idx = jnp.where(split[:, 0] < C // 2, perm, jnp.arange(Q))
+    return ret_idx, mixed
+
+
 def noiser(
     rng: jax.Array,
     ref_embeds: jnp.ndarray,
@@ -83,12 +103,16 @@ def noiser(
     cur_no_norm: jnp.ndarray,
     activate: jnp.ndarray,
     noise_ratio: float,
+    mode: str = "wa",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (indices, noised_init) (noiser.py:58-77, 'wa' mode)."""
+    """Returns (indices, noised_init) (noiser.py:58-77; modes none/rs/wa/cc)."""
     matched = match_embds(ref_embeds, cur_embeds)
     k1, k2 = jax.random.split(rng)
     use_noise = activate & (jax.random.uniform(k1) < noise_ratio)
-    noise_idx, noise_init = _wa_noise(k2, cur_no_norm)
+    if mode == "none":
+        return matched, cur_no_norm[matched]
+    noise_fn = {"rs": _rs_noise, "wa": _wa_noise, "cc": _cc_noise}[mode]
+    noise_idx, noise_init = noise_fn(k2, cur_no_norm)
     idx = jnp.where(use_noise, noise_idx, matched)
     init = jnp.where(use_noise, noise_init, cur_no_norm[matched])
     return idx, init
@@ -115,6 +139,7 @@ class _FrameStep(nn.Module):
     num_layers: int
     noise_ratio: float
     training: bool
+    noise_mode: str = "wa"
 
     @nn.compact
     def __call__(self, carry: TrackerState, xs):
@@ -128,8 +153,9 @@ class _FrameStep(nn.Module):
         # --- noiser -------------------------------------------------------
         ref_for_match = jnp.where(is_first, cur, st.last_frame_embeds)
         activate = jnp.asarray(self.training) & ~is_first
+        mode = "wa" if self.noise_mode == "hard" else self.noise_mode
         idx, init = jax.vmap(
-            lambda r, rf, c, cn: noiser(r, rf, c, cn, activate, self.noise_ratio)
+            lambda r, rf, c, cn: noiser(r, rf, c, cn, activate, self.noise_ratio, mode)
         )(jax.random.split(rng_f, B), ref_for_match, cur, cur_nn)
         aligned_embeds = jnp.take_along_axis(cur, idx[..., None], axis=1)
 
@@ -180,6 +206,7 @@ class ReferringTracker(nn.Module):
     num_layers: int = 6
     mask_dim: int = 256
     noise_ratio: float = 0.5
+    noise_mode: str = "wa"  # none | rs | wa | cc ('hard' aliases 'wa')
     ov: bool = False
     clip_embed_dim: int = 768
 
@@ -225,6 +252,7 @@ class ReferringTracker(nn.Module):
             num_layers=self.num_layers,
             noise_ratio=self.noise_ratio,
             training=training,
+            noise_mode=self.noise_mode,
             name="frame_step",
         )
         final_state, (outputs, references, indices) = step(state, xs)
