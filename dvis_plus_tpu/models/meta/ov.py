@@ -54,6 +54,7 @@ class OVSegmenter(nn.Module):
             d_ffn=self.cfg.pixel_decoder.transformer_dim_feedforward,
             n_points=self.cfg.pixel_decoder.num_points,
             transformer_in_features=self.cfg.pixel_decoder.transformer_in_features,
+            value_dtype=self.cfg.pixel_decoder.msdeform_value_dtype,
         )
         td = self.cfg.transformer_decoder
         self.transformer_decoder = OVMaskedTransformerDecoder(

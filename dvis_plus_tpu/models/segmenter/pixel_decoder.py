@@ -54,6 +54,8 @@ class MSDeformAttnLayer(nn.Module):
     n_levels: int = 3
     n_heads: int = 8
     n_points: int = 4
+    value_dtype: str = "float32"  # bfloat16 halves gather bytes (~20% faster
+    # per layer on v5e) at a small numeric cost; fp32 matches the reference
 
     @nn.compact
     def __call__(
@@ -69,6 +71,7 @@ class MSDeformAttnLayer(nn.Module):
 
         value = nn.Dense(self.d_model, name="value_proj")(src)
         value = value.reshape(B, Len, H, self.d_model // H)
+        value = value.astype(jnp.dtype(self.value_dtype))
         offsets = nn.Dense(
             H * self.n_levels * self.n_points * 2,
             kernel_init=nn.initializers.zeros,
@@ -92,7 +95,7 @@ class MSDeformAttnLayer(nn.Module):
             reference_points[None, :, None, :, None, :]
             + offsets / normalizer[None, None, None, :, None, :]
         )
-        out = ms_deform_attn(value, spatial_shapes, locations, attn)
+        out = ms_deform_attn(value, spatial_shapes, locations, attn).astype(src.dtype)
         out = nn.Dense(self.d_model, name="output_proj")(out)
 
         src = nn.LayerNorm(name="norm1")(src + out)
@@ -194,6 +197,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     d_ffn: int = 1024
     n_points: int = 4
     transformer_in_features: Tuple[str, ...] = ("res3", "res4", "res5")
+    value_dtype: str = "float32"  # see MSDeformAttnLayer.value_dtype
 
     @nn.compact
     def __call__(
@@ -234,6 +238,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 n_levels=len(levels),
                 n_heads=self.n_heads,
                 n_points=self.n_points,
+                value_dtype=self.value_dtype,
                 name=f"encoder_layer_{li}",
             )(src, pos, refs, spatial_shapes)
 
