@@ -238,8 +238,13 @@ class ReferringTracker(nn.Module):
             jnp.swapaxes(frame_embeds_no_norm, 0, 1),
             jax.random.split(rng, T),
         )
+        # remat the per-frame step during training: recompute the 6-layer
+        # referring decoder in the backward pass instead of storing every
+        # layer's activations per frame (HBM budgeting, SURVEY §7 "memory
+        # choreography")
+        step_cls = nn.remat(_FrameStep) if training else _FrameStep
         step = nn.scan(
-            _FrameStep,
+            step_cls,
             variable_broadcast="params",
             variable_axes={},
             split_rngs={"params": False},
