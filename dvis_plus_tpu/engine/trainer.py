@@ -77,12 +77,38 @@ def build_optimizer(cfg: Config) -> optax.GradientTransformation:
     )
 
 
-def build_loss_fn(cfg: Config, model) -> Callable:
+def build_loss_fn(cfg: Config, model, text_classifier=None, num_templates=None) -> Callable:
     """Returns loss_fn(params, batch, rng, step, memory) ->
-    (total, (losses, new_memory))."""
+    (total, (losses, new_memory)). OV archs close over the per-dataset
+    ``text_classifier`` / ``num_templates`` (static arrays built host-side)."""
     arch = cfg.model.meta_architecture
     ccfg = criterion_config(cfg)
     half_iter = cfg.solver.max_iter // 2
+
+    if arch.endswith("_ov"):
+        assert text_classifier is not None and num_templates is not None
+        # OV criterion: class count follows the dataset's classifier
+        # (reference VideoSetCriterion_ov, criterion.py:272-322)
+        ccfg = ccfg._replace(num_classes=len(num_templates) - 1)
+        tc = jnp.asarray(text_classifier)
+        nt = tuple(num_templates)
+
+        if arch == "dvis_online_ov":
+            from dvis_plus_tpu.models.meta.dvis_online import dvis_online_train_loss
+
+            def loss_fn(params, batch: Batch, rng, step, memory):
+                r1, r2 = jax.random.split(rng)
+                seg_out, track_out, _ = model.apply(
+                    params, batch.images, tc, nt, rng=r1, training=True
+                )
+                losses = dvis_online_train_loss(
+                    r2, seg_out, track_out, batch.targets, ccfg,
+                    use_matcher_guidance=step < half_iter,
+                )
+                return sum(jax.tree.leaves(losses)), (losses, memory)
+
+            return loss_fn
+        raise ValueError(f"OV training for {arch} not wired yet")
 
     if arch in ("minvis", "ctvis"):
         from dvis_plus_tpu.models.meta.minvis import frame_fold_targets, minvis_train_loss
@@ -191,11 +217,11 @@ def build_loss_fn(cfg: Config, model) -> Callable:
     raise ValueError(f"Unknown meta architecture: {arch}")
 
 
-def build_train_step(cfg: Config, model, optimizer=None):
+def build_train_step(cfg: Config, model, optimizer=None, text_classifier=None, num_templates=None):
     """Returns (train_step, init_state_fn). ``train_step`` is jit-compiled;
     donate the state for in-place HBM updates."""
     optimizer = optimizer or build_optimizer(cfg)
-    loss_fn = build_loss_fn(cfg, model)
+    loss_fn = build_loss_fn(cfg, model, text_classifier, num_templates)
     is_daq = cfg.model.meta_architecture == "daq_online"
     daq_stage_switch = (
         (cfg.model.daq.steps or (cfg.solver.max_iter,))[0] if is_daq else None

@@ -135,3 +135,40 @@ def test_ov_online_forward(tiny_ov_model):
         method=DVISOnlineOV.pool_clip,
     )
     assert pooled.shape == (2, 8, Cc)
+
+
+def test_ov_train_step(tiny_ov_model):
+    from dvis_plus_tpu.engine.trainer import Batch, build_train_step
+    from dvis_plus_tpu.losses.targets import VideoTargets
+    from dvis_plus_tpu.models.meta.ov import DVISOnlineOV
+
+    cfg = tiny_ov_model
+    cfg.model.meta_architecture = "dvis_online_ov"
+    cfg.model.freeze = ("segmenter",)
+    cfg.model.backbone.clip_depths = (1, 1, 1, 1)
+    cfg.model.backbone.clip_dims = (8, 16, 32, 64)
+    cfg.model.criterion.train_num_points = 64
+    cfg.model.criterion.max_num_instances = 3
+    cfg.solver.max_iter = 10
+    model = DVISOnlineOV(cfg.model)
+    rng = np.random.RandomState(7)
+    tc = rng.randn(K * Tpl + 1, Cc).astype(np.float32)
+    nt = [Tpl] * K + [1]
+    B, T, H, W, N = 1, 2, 64, 64, 3
+    images = jnp.zeros((B, T, H, W, 3), jnp.float32)
+    params = model.init(jax.random.key(0), images, jnp.asarray(tc), tuple(nt))
+    targets = VideoTargets(
+        labels=jnp.asarray(rng.randint(0, K, (B, N)), jnp.int32),
+        masks=jnp.asarray(rng.rand(B, N, T, H, W) > 0.8),
+        valid=jnp.ones((B, N), bool),
+        frame_valid=jnp.ones((B, N, T), bool),
+    )
+    batch = Batch(
+        images=jnp.asarray(rng.rand(B, T, H, W, 3), jnp.float32), targets=targets
+    )
+    train_step, init_state = build_train_step(
+        cfg, model, text_classifier=tc, num_templates=nt
+    )
+    state = init_state(params)
+    state, metrics = train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["total_loss"]))
