@@ -129,3 +129,26 @@ def build_test_loader(
             yield mapper(rec, seed=0)
 
     return gen()
+
+
+def prefetch_to_device(iterator: Iterator[dict], size: int = 2, sharding=None):
+    """Double-buffered host->device prefetch (the reference overlaps loading
+    via d2 worker processes; here a small deque of in-flight device puts keeps
+    the TPU fed while the host decodes the next clips)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
