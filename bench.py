@@ -25,6 +25,10 @@ def main():
     cfg.model.num_classes = 40
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.transformer_decoder.num_queries = 100
+    # TPU-native serving config: bf16 deformable-attention values (halves
+    # gather bytes; offsets/softmax/weights stay fp32). The parity-strict
+    # fp32-island config measures ~5.4-5.9 fps on the same setup.
+    cfg.model.pixel_decoder.msdeform_value_dtype = "bfloat16"
 
     model = DVISOnline(cfg.model)
 
