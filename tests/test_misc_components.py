@@ -128,3 +128,38 @@ def test_semantic_tta_flip_consistency():
     out = semantic_tta(predict, img, flip=True)
     # flip variant returns base[:, ::-1] then un-flips -> identical; mean == base
     np.testing.assert_allclose(out, base, atol=1e-6)
+
+
+def test_vps_inference_helpers():
+    from dvis_plus_tpu.models.meta.dvis_online import (
+        panoptic_probs,
+        panoptic_segments_host,
+        semantic_inference,
+    )
+
+    rng = np.random.RandomState(5)
+    Q, T, H4, W4, K = 6, 2, 8, 8, 4
+    logits = jnp.asarray(rng.randn(Q, K + 1).astype(np.float32) * 3)
+    masks = jnp.asarray(rng.randn(Q, T, H4, W4).astype(np.float32) * 3)
+    scores, labels, keep, up_masks, mask_ids = panoptic_probs(
+        logits, masks, img_size=(30, 32), output_size=(60, 64),
+        padded_size=(32, 32), object_mask_threshold=0.1,
+    )
+    assert up_masks.shape == (Q, T, 60, 64)
+    assert mask_ids.shape == (T, 60, 64)
+    pan, infos, ids = panoptic_segments_host(
+        np.asarray(scores), np.asarray(labels), np.asarray(keep),
+        np.asarray(up_masks), np.asarray(mask_ids),
+        num_thing_classes=2, overlap_threshold=0.2,
+    )
+    assert pan.shape == (T, 60, 64)
+    # segment ids in the map are exactly those reported
+    reported = {i["id"] for i in infos}
+    present = set(np.unique(pan).tolist()) - {0}
+    assert present <= reported
+
+    sem = semantic_inference(
+        logits, masks, img_size=(30, 32), output_size=(60, 64), padded_size=(32, 32)
+    )
+    assert sem.shape == (T, 60, 64)
+    assert int(jnp.max(sem)) < K
