@@ -157,31 +157,51 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
         masks = jnp.concatenate(masks_l, axis=1)[:, :T]  # (Q, T, H4, W4)
         return logits.mean(axis=0), masks
 
-    online_logits_l, inst_l, frame_l, mf_l = [], [], [], []
+    # Offline: embeds accumulate on device (tiny); mask features page to HOST
+    # per window so HBM stays O(window), not O(video) — the TPU-native form of
+    # the reference's windowed mask prediction + CPU offload (:1473,
+    # refiner.py:169-194).
+    online_logits_l, inst_l, frame_l, mf_host = [], [], [], []
     for i in range(n_windows):
         chunk = jnp.asarray(images[i * W_sz : (i + 1) * W_sz])
         lg, inst, frame, mf, state = win(params, chunk, state)
         online_logits_l.append(lg)
         inst_l.append(inst)
         frame_l.append(frame)
-        mf_l.append(mf)
+        mf_host.append(np.asarray(mf))
     online_logits = jnp.concatenate(online_logits_l, axis=0)  # (T', Q, K+1)
     inst = jnp.concatenate(inst_l, axis=1)
     frame = jnp.concatenate(frame_l, axis=1)
-    mf = jnp.concatenate(mf_l, axis=1)
 
-    refine_key = ("refine", inst.shape[1])
+    refine_key = ("refine_embeds", inst.shape[1])
     if refine_key not in window_fns:
         @jax.jit
-        def refine(params, inst, frame, mf):
-            out = model.apply(params, inst, frame, mf, method=type(model).refine)
-            return out["pred_logits"][0], out["pred_masks"][0]
+        def refine_embeds(params, inst, frame):
+            out = model.apply(params, inst, frame, method=type(model).refine_embeds)
+            return out["pred_logits"][0], out["mask_embed"][0]
 
-        window_fns[refine_key] = refine
-    r_logits, r_masks = window_fns[refine_key](params, inst, frame, mf)
+        @jax.jit
+        def mask_win(params, membd, mf):
+            return model.apply(
+                params, membd[None], mf, method=type(model).refine_mask_window
+            )[0]
 
-    # class fusion: max of refined and online probabilities
-    probs = jax.nn.softmax(r_logits.mean(axis=0).astype(jnp.float32), axis=-1)
+        window_fns[refine_key] = (refine_embeds, mask_win)
+    refine_embeds, mask_win = window_fns[refine_key]
+    r_logits, membd = refine_embeds(params, inst, frame)  # (Q,K+1), (T',Q,Cm)
+
+    masks_l = []
+    for i in range(n_windows):
+        mw = mask_win(
+            params,
+            jax.lax.dynamic_slice_in_dim(membd, i * W_sz, W_sz, axis=0),
+            jnp.asarray(mf_host[i]),
+        )  # (Q, W_sz, H4, W4)
+        masks_l.append(np.asarray(mw, dtype=np.float16))
+    r_masks = np.concatenate(masks_l, axis=1)  # (Q, T', H4, W4) host
+
+    # class fusion: max of refined and online probabilities (:824-826, :1377)
+    probs = jax.nn.softmax(r_logits.astype(jnp.float32), axis=-1)
     aux = jax.nn.softmax(online_logits.astype(jnp.float32), axis=-1).mean(axis=0)[:, :-1]
     probs = probs.at[:, :-1].set(jnp.maximum(probs[:, :-1], aux))
     fused_logits = jnp.log(jnp.clip(probs, 1e-20, 1.0))

@@ -113,6 +113,16 @@ class DVISOffline(nn.Module):
         """Full-video refiner pass over accumulated window outputs (:1497)."""
         return self.refiner(instance_embeds, frame_embeds, mask_features, training=False)
 
+    def refine_embeds(self, instance_embeds, frame_embeds):
+        """Embeds-only refiner pass (no mask features in HBM) — pair with
+        :meth:`refine_mask_window` per time chunk; the TPU-native form of the
+        reference's windowed mask prediction (refiner.py:169-194)."""
+        return self.refiner.embed_pass(instance_embeds, frame_embeds)
+
+    def refine_mask_window(self, mask_embed, mask_features):
+        """Mask head on one time window (B, Tw, ...) -> (B, Q, Tw, H, W)."""
+        return self.refiner.mask_window(mask_embed, mask_features)
+
 
 def _flatten_clip(masks: jnp.ndarray) -> jnp.ndarray:
     """(..., T, H, W) -> (..., 1, T*H, W): the reference's trick of treating a

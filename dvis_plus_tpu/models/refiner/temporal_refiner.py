@@ -1,6 +1,7 @@
 """Temporal refiner (DVIS++ offline stage 3): full-video query refinement.
 
-Re-designs reference ``TemporalRefiner`` (``DVIS_Plus/dvis_Plus/refiner.py:6-227``):
+Re-designs reference ``TemporalRefiner`` (``DVIS_Plus/dvis_Plus/refiner.py:6-227``
+and the padding-mask DAQ variant ``DVIS_DAQ/dvis_daq/refiner.py:6-247``):
 
 per layer (x6):
   1. long-range temporal self-attention over all T frames per (video, query)
@@ -15,9 +16,15 @@ per layer (x6):
 Heads (:196-227): class prediction pools queries over time with a learned
 activation softmax (activation_proj) and duplicates the fused logits to all
 frames; mask head is the big ``lbtqc,bthwc->lbqthw`` einsum against stride-4
-mask features (the reference pages this through 5-frame windows at inference
-to bound GPU memory (:169-194) — on TPU the same windowing is an optional
-``lax.map`` over time chunks to bound HBM).
+mask features.
+
+Windowed mask prediction (reference ``windows_prediction`` :169-194 pages mask
+features GPU<->CPU in 5-frame chunks): the TPU-native equivalent splits the
+refiner into :meth:`embed_pass` (runs once over the whole video's embeds —
+tiny tensors, O(T) HBM) and :meth:`mask_window` (the parameter-bearing mask
+head applied to one time chunk). The inference driver keeps full-video mask
+features **on host** and pages one window at a time through
+``mask_window`` — HBM use is bounded by the window size, not the video length.
 
 Layout: embeds (B, T, Q, C); mask features NHWC.
 """
@@ -64,21 +71,53 @@ class TemporalRefiner(nn.Module):
     ov: bool = False  # CLIP class head (reference TemporalRefiner_OV)
     clip_embed_dim: int = 768
 
-    @nn.compact
-    def __call__(
+    def setup(self):
+        C = self.hidden_dim
+        self.time_self_layers = [
+            SelfAttentionLayer(C, self.num_heads, name=f"time_self_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.conv_layers = [
+            TemporalConvBlock(C, name=f"conv_{i}") for i in range(self.num_layers)
+        ]
+        self.obj_self_layers = [
+            SelfAttentionLayer(C, self.num_heads, name=f"obj_self_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.cross_layers = [
+            CrossAttentionLayer(C, self.num_heads, name=f"cross_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.ffn_layers = [
+            FFNLayer(C, self.feedforward_dim, name=f"ffn_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
+        self.activation_proj = nn.Dense(1, name="activation_proj")
+        if self.ov:
+            self.maskpool_norm = nn.LayerNorm(name="maskpool_norm")
+            self.maskpool_proj = nn.Dense(C, name="maskpool_proj")
+            self.class_embed_ov = MLP(
+                C, self.clip_embed_dim, num_layers=3, name="class_embed_ov"
+            )
+            self.logit_scale = self.param(
+                "logit_scale", nn.initializers.constant(jnp.log(1 / 0.07)), ()
+            )
+        else:
+            self.class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
+
+    # ------------------------------------------------------------------
+    # transformer body (shared by training forward and eval embed pass)
+    # ------------------------------------------------------------------
+
+    def _body(
         self,
-        instance_embeds: jnp.ndarray,  # (B, T, Q, C) tracker-aligned queries
-        frame_embeds: jnp.ndarray,  # (B, T, Q, C) segmenter queries (no-norm)
-        mask_features: jnp.ndarray,  # (B, T, H, W, mask_dim)
-        training: bool = False,
-        text_classifier=None,
-        num_templates=None,
+        instance_embeds: jnp.ndarray,  # (B, T, Q, C)
+        frame_embeds: jnp.ndarray,  # (B, T, fQ, C)
         instance_mask: Optional[jnp.ndarray] = None,  # (B, Q) False = padded
-    ) -> Dict[str, jnp.ndarray]:
-        """``instance_mask`` supports variable tracked-instance counts under
-        static shapes (the DAQ refiner's padding-mask path, reference
-        ``DVIS_DAQ/dvis_daq/refiner.py:229-243``): padded slots are hidden
-        from object self-attention and zeroed in the outputs."""
+    ) -> jnp.ndarray:
+        """Returns stacked per-layer outputs (L, B, T, Q, C)."""
         B, T, Q, C = instance_embeds.shape
 
         obj_mask = None
@@ -91,41 +130,55 @@ class TemporalRefiner(nn.Module):
         for i in range(self.num_layers):
             # 1) temporal self-attention: batch (B*Q), sequence T
             x = jnp.swapaxes(output, 1, 2).reshape(B * Q, T, C)
-            x = SelfAttentionLayer(C, self.num_heads, name=f"time_self_{i}")(
-                x, jnp.zeros_like(x)
-            )
+            x = self.time_self_layers[i](x, jnp.zeros_like(x))
             # 2) short-term conv over T
-            x = TemporalConvBlock(C, name=f"conv_{i}")(x)
+            x = self.conv_layers[i](x)
             # 3) object self-attention: batch (B*T), sequence Q
             x = x.reshape(B, Q, T, C).swapaxes(1, 2).reshape(B * T, Q, C)
-            x = SelfAttentionLayer(C, self.num_heads, name=f"obj_self_{i}")(
-                x, jnp.zeros_like(x), obj_mask
-            )
+            x = self.obj_self_layers[i](x, jnp.zeros_like(x), obj_mask)
             # 4) cross-attention to the same frame's segmenter queries (their
             # count fQ may differ from the refined instance count Q — DAQ
             # offline refines Qc tracked slots against fQ frame queries)
             mem = frame_embeds.reshape(B * T, frame_embeds.shape[2], C)
-            x = CrossAttentionLayer(C, self.num_heads, name=f"cross_{i}")(
-                x, mem, jnp.zeros_like(mem), jnp.zeros_like(x)
-            )
+            x = self.cross_layers[i](x, mem, jnp.zeros_like(mem), jnp.zeros_like(x))
             # 5) FFN
-            x = FFNLayer(C, self.feedforward_dim, name=f"ffn_{i}")(x)
+            x = self.ffn_layers[i](x)
             output = x.reshape(B, T, Q, C)
             layer_outputs.append(output)
+        return jnp.stack(layer_outputs, axis=0)
 
-        outs = jnp.stack(layer_outputs, axis=0)  # (L, B, T, Q, C)
+    def _pred_class(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Activation-weighted temporal pooling -> per-frame duplicated logits
+        (reference pred_class :196-210). x: normalized (L', B, T, Q, C)."""
+        act = jax.nn.softmax(self.activation_proj(x), axis=2)  # (L', B, T, Q, 1)
+        fused = jnp.sum(x * act, axis=2, keepdims=True)  # (L', B, 1, Q, C)
+        return fused
+
+    # ------------------------------------------------------------------
+    # public entry points
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        instance_embeds: jnp.ndarray,  # (B, T, Q, C) tracker-aligned queries
+        frame_embeds: jnp.ndarray,  # (B, T, fQ, C) segmenter queries (no-norm)
+        mask_features: jnp.ndarray,  # (B, T, H, W, mask_dim)
+        training: bool = False,
+        text_classifier=None,
+        num_templates=None,
+        instance_mask: Optional[jnp.ndarray] = None,  # (B, Q) False = padded
+    ) -> Dict[str, jnp.ndarray]:
+        """Full in-graph forward (training, and eval when the whole video's
+        mask features fit in HBM). ``instance_mask`` supports variable tracked
+        -instance counts under static shapes (the DAQ refiner's padding-mask
+        path, reference ``DVIS_DAQ/dvis_daq/refiner.py:229-243``)."""
+        outs = self._body(instance_embeds, frame_embeds, instance_mask)
         emit = outs if training else outs[-1:]
 
-        decoder_norm = nn.LayerNorm(name="decoder_norm")
-        mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
-        activation_proj = nn.Dense(1, name="activation_proj")
+        x = self.decoder_norm(emit)  # (L', B, T, Q, C)
+        fused = self._pred_class(x)
 
-        x = decoder_norm(emit)  # (L', B, T, Q, C)
-        # activation-weighted temporal pooling for classification (:196-210)
-        act = jax.nn.softmax(activation_proj(x), axis=2)  # (L', B, T, Q, 1)
-        fused = jnp.sum(x * act, axis=2, keepdims=True)  # (L', B, 1, Q, C)
-
-        membd = mask_embed(x)  # (L', B, T, Q, mask_dim)
+        membd = self.mask_embed(x)  # (L', B, T, Q, mask_dim)
         masks = jnp.einsum(
             "lbtqc,bthwc->lbqthw", membd, mask_features, preferred_element_type=jnp.float32
         )
@@ -141,30 +194,83 @@ class TemporalRefiner(nn.Module):
             pooled = jnp.einsum("lbqthw,bthwc->lbqc", m, mask_features.astype(jnp.float32))
             denom = m.sum(axis=(-1, -2, -3))[..., None] + 1e-8
             pooled = (pooled / denom).astype(x.dtype)
-            pooled = nn.LayerNorm(name="maskpool_norm")(pooled)
-            pooled = nn.Dense(C, name="maskpool_proj")(pooled)  # (L', B, Q, C)
-            cls_emb = MLP(C, self.clip_embed_dim, num_layers=3, name="class_embed_ov")(
-                pooled[:, :, None] + fused
-            )  # (L', B, 1, Q, Cc)
-            scale = self.param(
-                "logit_scale", nn.initializers.constant(jnp.log(1 / 0.07)), ()
-            )
+            pooled = self.maskpool_norm(pooled)
+            pooled = self.maskpool_proj(pooled)  # (L', B, Q, C)
+            cls_emb = self.class_embed_ov(pooled[:, :, None] + fused)  # (L', B, 1, Q, Cc)
             logits1 = get_classification_logits(
-                cls_emb, text_classifier, scale, num_templates
+                cls_emb, text_classifier, self.logit_scale, num_templates
             )
             logits = jnp.broadcast_to(
                 logits1, (x.shape[0], x.shape[1], x.shape[2]) + logits1.shape[-2:]
             )
         else:
-            logits = nn.Dense(self.num_classes + 1, name="class_embed")(
-                jnp.broadcast_to(fused, x.shape)
-            )  # (L', B, T, Q, K+1)
+            logits = self.class_embed(jnp.broadcast_to(fused, x.shape))
+            # (L', B, T, Q, K+1)
 
         out = {
             "pred_logits": logits[-1],
             "pred_masks": masks[-1],
             "aux_pred_logits": [logits[j] for j in range(logits.shape[0] - 1)],
             "aux_pred_masks": [masks[j] for j in range(masks.shape[0] - 1)],
-            "pred_embds": decoder_norm(outs[-1]),  # (B, T, Q, C)
+            "pred_embds": self.decoder_norm(outs[-1]),  # (B, T, Q, C)
         }
         return out
+
+    def embed_pass(
+        self,
+        instance_embeds: jnp.ndarray,  # (B, T, Q, C)
+        frame_embeds: jnp.ndarray,  # (B, T, fQ, C)
+        instance_mask: Optional[jnp.ndarray] = None,  # (B, Q)
+    ) -> Dict[str, jnp.ndarray]:
+        """Eval-time pass over embeds only — no mask features touched, so HBM
+        is O(T·Q·C). Returns the final-layer class logits and the mask-head
+        embeddings to feed :meth:`mask_window` per time chunk (the TPU
+        replacement for reference ``windows_prediction`` refiner.py:169-194)."""
+        outs = self._body(instance_embeds, frame_embeds, instance_mask)
+        x = self.decoder_norm(outs[-1:])  # (1, B, T, Q, C)
+        fused = self._pred_class(x)
+        if self.ov:
+            membd = self.mask_embed(x)
+            # OV classification needs mask pooling; return the pieces and let
+            # the driver accumulate pooled features over windows.
+            return {
+                "fused": fused[0],  # (B, 1, Q, C)
+                "mask_embed": membd[0],  # (B, T, Q, mask_dim)
+                "pred_embds": self.decoder_norm(outs[-1]),
+            }
+        logits = self.class_embed(fused)[0]  # (B, 1, Q, K+1)
+        return {
+            "pred_logits": logits[:, 0],  # (B, Q, K+1) video-level
+            "mask_embed": self.mask_embed(x)[0],  # (B, T, Q, mask_dim)
+            "pred_embds": self.decoder_norm(outs[-1]),
+        }
+
+    def mask_window(
+        self,
+        mask_embed: jnp.ndarray,  # (B, Tw, Q, mask_dim) chunk from embed_pass
+        mask_features: jnp.ndarray,  # (B, Tw, H, W, mask_dim) chunk
+    ) -> jnp.ndarray:
+        """Mask head on one time window: (B, Q, Tw, H, W) logits."""
+        return jnp.einsum(
+            "btqc,bthwc->bqthw",
+            mask_embed,
+            mask_features,
+            preferred_element_type=jnp.float32,
+        )
+
+    def ov_classify(
+        self,
+        fused: jnp.ndarray,  # (B, 1, Q, C) from embed_pass
+        pooled: jnp.ndarray,  # (B, Q, Cm) window-accumulated mask pooling
+        text_classifier: jnp.ndarray,
+        num_templates,
+    ) -> jnp.ndarray:
+        """OV video-level classification from window-accumulated pooled CLIP
+        features (driver sums mask_window masks>0 against mask features)."""
+        from dvis_plus_tpu.models.ov.heads import get_classification_logits
+
+        pooled = self.maskpool_proj(self.maskpool_norm(pooled))  # (B, Q, C)
+        cls_emb = self.class_embed_ov(pooled[:, None] + fused)  # (B, 1, Q, Cc)
+        return get_classification_logits(
+            cls_emb, text_classifier, self.logit_scale, num_templates
+        )[:, 0]

@@ -86,3 +86,38 @@ def test_offline_loss_and_memory():
     )
     assert np.isfinite(float(losses2["loss_reid"]))
     assert np.asarray(mem2.count).sum() == 4 * T
+
+
+def test_windowed_mask_head_matches_full_forward():
+    """embed_pass + per-window mask_window == full __call__ at eval (the TPU
+    form of reference windows_prediction, refiner.py:169-194)."""
+    model = TemporalRefiner(
+        num_classes=K, hidden_dim=C, feedforward_dim=64, num_heads=4,
+        num_layers=2, mask_dim=C, window=2,
+    )
+    rng = np.random.RandomState(3)
+    inst = jnp.asarray(rng.randn(B, T, Q, C).astype(np.float32))
+    frame = jnp.asarray(rng.randn(B, T, Q, C).astype(np.float32))
+    mf = jnp.asarray(rng.randn(B, T, Hm, Wm, C).astype(np.float32))
+    params = model.init(jax.random.key(0), inst, frame, mf)
+
+    full = model.apply(params, inst, frame, mf, training=False)
+
+    ep = model.apply(params, inst, frame, method=TemporalRefiner.embed_pass)
+    np.testing.assert_allclose(
+        np.asarray(ep["pred_logits"][:, None]),
+        np.asarray(full["pred_logits"][:, :1]),
+        atol=1e-5,
+    )
+    w = 2
+    chunks = [
+        model.apply(
+            params, ep["mask_embed"][:, s : s + w], mf[:, s : s + w],
+            method=TemporalRefiner.mask_window,
+        )
+        for s in range(0, T, w)
+    ]
+    masks = jnp.concatenate(chunks, axis=2)
+    np.testing.assert_allclose(
+        np.asarray(masks), np.asarray(full["pred_masks"]), atol=1e-4
+    )
