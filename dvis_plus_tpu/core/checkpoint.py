@@ -127,3 +127,26 @@ def convert_torch_resnet(state_dict: Dict[str, "np.ndarray"], depths=(3, 4, 6, 3
                 }
             params[fx] = blk
     return {"params": params}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, "np.ndarray"]:
+    """Load a torch ``.pth``/``.pt``/``.pkl`` (or ``.npz``) checkpoint into a
+    flat numpy-valued state dict (the reference loads zoo ``.pth`` via
+    DetectionCheckpointer, train_net_video.py:303-305). Unwraps common
+    containers ({'model': ...}, {'state_dict': ...}, {'module': ...})."""
+    if path.endswith(".npz"):
+        data = np.load(path)
+        return {k: data[k] for k in data.files}
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model", "state_dict", "module"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "numpy"):
+            out[k] = v.detach().to(torch.float32).numpy() if v.dtype.is_floating_point else v.numpy()
+        else:
+            out[k] = np.asarray(v)
+    return out

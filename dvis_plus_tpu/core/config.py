@@ -138,11 +138,17 @@ class DAQConfig:
     offline_topk_num: int = 20
     mask_nms_thr: float = 0.6
     match_score_thr: float = 0.3
-    track_score_thr: float = 0.3
-    miss_tolerance: int = 5  # kick_out_frame_num
+    inference_select_thr: float = 0.1  # INFERENCE_SELECT_THRESHOLD
+    aux_inference_select_thr: float = 0.01  # AUX_INFERENCE_SELECT_THRESHOLD
+    training_select_thr: float = 0.1  # TRAINING_SELECT_THRESHOLD
+    keep_threshold: float = 0.01  # DIS_FG_THRESHOLD (slot-branch survival gate)
+    noise_frame_num: int = 1  # drop sequences shorter than this (NOISE_FRAME_NUM)
+    kick_out_frame_num: int = 8  # track_module.py:116
+    ovis_infer: bool = False  # OVIS_INFER slot-gated survival
     max_num_instances: int = 50  # static capacity of the track-query slot table
     using_frame_num: Tuple[int, ...] = ()  # progressive frame curriculum (INPUT.USING_FRAME_NUM)
     steps: Tuple[int, ...] = ()  # curriculum step boundaries (INPUT.STEPS)
+    increasing_step: Tuple[int, ...] = (8000,)  # stage 2 -> 3 switch iteration
 
 
 @dataclass

@@ -19,8 +19,46 @@ from typing import Callable, Iterator, List, Optional, Sequence
 import numpy as np
 
 from dvis_plus_tpu.core.config import Config
-from dvis_plus_tpu.data.catalog import get_dataset
+from dvis_plus_tpu.data.catalog import get_dataset, get_metadata
 from dvis_plus_tpu.data.mapper import YTVISDatasetMapper
+
+
+def mapper_for_type(cfg: Config, dataset_type: str, is_train: bool,
+                    dataset_name: str = "", need_map: bool = False):
+    """Dataset-type -> mapper dispatch (reference train_net_video.py:86-127:
+    video_instance/video_panoptic/video_semantic/image_instance mapper_dict,
+    plus DAQ's video_sot)."""
+    if dataset_type == "video_instance":
+        id_to_contiguous = None
+        if need_map and dataset_name:
+            # cross-dataset category mapping (COCO -> YTVIS/OVIS ids,
+            # reference dataset_mapper.py:185-192)
+            md = get_metadata(dataset_name)
+            id_to_contiguous = md.thing_dataset_id_to_contiguous_id
+        return YTVISDatasetMapper(cfg, is_train=is_train, id_to_contiguous=id_to_contiguous)
+    if dataset_type == "video_panoptic":
+        from dvis_plus_tpu.data.datasets.vps_vss import PanopticVideoMapper
+
+        thing_ids = []
+        if dataset_name:
+            md = get_metadata(dataset_name)
+            cats = getattr(md, "categories", None) or []
+            thing_ids = [c["id"] for c in cats if c.get("isthing")]
+        return PanopticVideoMapper(cfg, is_train=is_train, thing_ids=thing_ids)
+    if dataset_type == "video_semantic":
+        from dvis_plus_tpu.data.datasets.vps_vss import SemanticVideoMapper
+
+        num_classes = cfg.model.num_classes
+        return SemanticVideoMapper(cfg, is_train=is_train, num_classes=num_classes)
+    if dataset_type == "image_instance":
+        from dvis_plus_tpu.data.pseudo_video import CocoPseudoVideoMapper
+
+        return CocoPseudoVideoMapper(cfg, is_train=is_train)
+    if dataset_type == "video_sot":
+        from dvis_plus_tpu.data.mapper_sot import SOTDatasetMapper
+
+        return SOTDatasetMapper(cfg, is_train=is_train)
+    raise NotImplementedError(f"dataset_type {dataset_type}")
 
 
 def _collate(samples: List[dict]) -> dict:
@@ -107,22 +145,44 @@ class CombinedDataLoader:
 
 def build_combined_train_loader(cfg: Config, seed: int = 0) -> Iterator[dict]:
     names = cfg.datasets.train
+    types = list(cfg.datasets.dataset_type) or ["video_instance"] * len(names)
+    need_map = list(cfg.datasets.dataset_need_map) or [False] * len(names)
+    if len(types) < len(names):
+        types = types + [types[-1]] * (len(names) - len(types))
+    if len(need_map) < len(names):
+        need_map = need_map + [False] * (len(names) - len(need_map))
+    mappers = [
+        mapper_for_type(cfg, t, True, dataset_name=n, need_map=m)
+        for n, t, m in zip(names, types, need_map)
+    ]
     if len(names) == 1:
-        return build_train_loader(cfg, names[0], seed=seed)
+        return build_train_loader(cfg, names[0], mapper=mappers[0], seed=seed)
     loaders = [
-        build_train_loader(cfg, name, seed=seed + i) for i, name in enumerate(names)
+        build_train_loader(cfg, name, mapper=mappers[i], seed=seed + i)
+        for i, name in enumerate(names)
     ]
     ratios = list(cfg.datasets.dataset_ratio) or [1.0] * len(loaders)
     return CombinedDataLoader(loaders, ratios, seed=seed)
 
 
 def build_test_loader(
-    cfg: Config, dataset_name: str, mapper: Optional[Callable] = None
+    cfg: Config,
+    dataset_name: str,
+    mapper: Optional[Callable] = None,
+    dataset_type: Optional[str] = None,
 ) -> Iterator[dict]:
     """Sequential one-video-at-a-time eval loader (reference
-    build_detection_test_loader: batch size 1, no aug randomness)."""
+    build_detection_test_loader: batch size 1, no aug randomness); the mapper
+    is routed by dataset type (reference train_net_video.py:117-127)."""
     records = get_dataset(dataset_name)
-    mapper = mapper or YTVISDatasetMapper(cfg, is_train=False)
+    if mapper is None:
+        if dataset_type is None:
+            try:
+                idx = list(cfg.datasets.test).index(dataset_name)
+                dataset_type = (list(cfg.datasets.dataset_type_test) + ["video_instance"] * 8)[idx]
+            except ValueError:
+                dataset_type = "video_instance"
+        mapper = mapper_for_type(cfg, dataset_type, False, dataset_name=dataset_name)
 
     def gen():
         for rec in records:

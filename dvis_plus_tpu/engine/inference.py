@@ -29,6 +29,11 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
     W_sz = cfg.test.window_size
     topk = cfg.test.max_num
 
+    if arch.startswith("daq"):
+        from dvis_plus_tpu.engine.daq_inference import run_daq_inference
+
+        return run_daq_inference(cfg, model, params, loader, evaluator)
+
     window_fns: Dict = {}
 
     for sample in loader:
@@ -63,6 +68,83 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
                 "pred_labels": np.asarray(res.labels).tolist(),
                 "pred_masks": np.asarray(res.masks),
             },
+        )
+
+
+def video_logits_masks(cfg: Config, model, params, images, window_fns, W_sz):
+    """Shared per-video forward: (fused class logits (Q, K+1),
+    masks (Q, T', H4, W4)) for any close-vocab arch."""
+    if cfg.model.meta_architecture in ("minvis", "ctvis"):
+        return _minvis_video(cfg, model, params, images, window_fns, W_sz)
+    return _online_video(cfg, model, params, images, window_fns, W_sz)
+
+
+def run_vps_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator,
+                      num_thing_classes: int):
+    """VPS eval loop (reference inference_video_vps :869-952): per-pixel
+    argmax panoptic id map on device, segment bookkeeping on host, PNG + json
+    rows via the VPS evaluator."""
+    from dvis_plus_tpu.models.meta.dvis_online import (
+        panoptic_probs,
+        panoptic_segments_host,
+    )
+
+    W_sz = cfg.test.window_size
+    window_fns: Dict = {}
+    for sample in loader:
+        images = sample["images"]
+        T, H, W = images.shape[:3]
+        logits, masks = video_logits_masks(cfg, model, params, images, window_fns, W_sz)
+        masks = masks[:, :T]
+        h, w = [int(v) for v in sample["image_size"]]
+        out_size = (int(sample["height"]), int(sample["width"]))
+        scores, labels, keep, masks_up, mask_ids = panoptic_probs(
+            jnp.asarray(logits),
+            jnp.asarray(masks),
+            img_size=(h, w),
+            output_size=out_size,
+            padded_size=(H, W),
+            object_mask_threshold=cfg.test.object_mask_threshold,
+        )
+        panoptic_seg, segments_infos, _ = panoptic_segments_host(
+            np.asarray(scores),
+            np.asarray(labels),
+            np.asarray(keep),
+            np.asarray(masks_up),
+            np.asarray(mask_ids),
+            num_thing_classes=num_thing_classes,
+            overlap_threshold=cfg.test.overlap_threshold,
+        )
+        evaluator.process(
+            sample.get("video_id", 0),
+            sample["file_names"],
+            panoptic_seg,
+            segments_infos,
+        )
+
+
+def run_vss_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator):
+    """VSS eval loop (reference inference_video_vss :954-979): per-pixel
+    semantic argmax -> per-frame PNGs."""
+    from dvis_plus_tpu.models.meta.dvis_online import semantic_inference
+
+    W_sz = cfg.test.window_size
+    window_fns: Dict = {}
+    for sample in loader:
+        images = sample["images"]
+        T, H, W = images.shape[:3]
+        logits, masks = video_logits_masks(cfg, model, params, images, window_fns, W_sz)
+        masks = masks[:, :T]
+        h, w = [int(v) for v in sample["image_size"]]
+        sem = semantic_inference(
+            jnp.asarray(logits),
+            jnp.asarray(masks),
+            img_size=(h, w),
+            output_size=(int(sample["height"]), int(sample["width"])),
+            padded_size=(H, W),
+        )
+        evaluator.process(
+            sample.get("video_id", 0), sample["file_names"], np.asarray(sem)
         )
 
 

@@ -108,6 +108,39 @@ def build_loss_fn(cfg: Config, model, text_classifier=None, num_templates=None) 
                 return sum(jax.tree.leaves(losses)), (losses, memory)
 
             return loss_fn
+
+        if arch == "minvis_ov":
+            from dvis_plus_tpu.models.meta.minvis import minvis_train_loss
+
+            def loss_fn(params, batch: Batch, rng, step, memory):
+                B, T = batch.images.shape[:2]
+                out = model.apply(
+                    params,
+                    batch.images.reshape((B * T,) + batch.images.shape[2:]),
+                    tc,
+                    nt,
+                )
+                losses = minvis_train_loss(rng, out, batch.targets, ccfg)
+                return sum(jax.tree.leaves(losses)), (losses, memory)
+
+            return loss_fn
+
+        if arch == "dvis_offline_ov":
+            from dvis_plus_tpu.models.meta.dvis_offline import dvis_offline_train_loss
+
+            def loss_fn(params, batch: Batch, rng, step, memory):
+                r1, r2 = jax.random.split(rng)
+                _, track_out, refine_out, _ = model.apply(
+                    params, batch.images, tc, nt, rng=r1, training=True
+                )
+                losses, _ = dvis_offline_train_loss(
+                    r2, track_out, refine_out, batch.targets, ccfg,
+                    use_matcher_guidance=step < half_iter,
+                    memory=None, use_cl=False,
+                )
+                return sum(jax.tree.leaves(losses)), (losses, memory)
+
+            return loss_fn
         raise ValueError(f"OV training for {arch} not wired yet")
 
     if arch in ("minvis", "ctvis"):
@@ -214,7 +247,52 @@ def build_loss_fn(cfg: Config, model, text_classifier=None, num_templates=None) 
 
         return loss_fn
 
+    if arch == "daq_offline":
+        from dvis_plus_tpu.models.meta.dvis_offline import dvis_offline_train_loss
+
+        def loss_fn(params, batch: Batch, rng, step, memory):
+            # B == 1 clip per device; in-graph streaming cutter (frozen) +
+            # trainable refiner over top-K sequences (reference
+            # DVIS_DAQ_offline.forward :1085-1137)
+            images = batch.images[0]
+            r1, r2 = jax.random.split(rng)
+            online_out, refine_out = model.apply(params, images, rng=r1)
+            losses, _ = dvis_offline_train_loss(
+                r2,
+                online_out,
+                refine_out,
+                batch.targets,
+                ccfg,
+                use_matcher_guidance=step < half_iter,
+                memory=None,
+                use_cl=False,
+            )
+            return sum(jax.tree.leaves(losses)), (losses, memory)
+
+        return loss_fn
+
     raise ValueError(f"Unknown meta architecture: {arch}")
+
+
+def daq_curriculum_slice(cfg: Config, step: int, raw: Dict, rng) -> Dict:
+    """Progressive frame-count curriculum (reference INPUT.USING_FRAME_NUM +
+    INPUT.STEPS, meta_architecture.py:241-279): before ``steps[0]`` train on
+    ``using_frame_num[0]`` contiguous frames, after on ``using_frame_num[1]``;
+    host-side slicing so each length is its own compiled executable."""
+    ufn = cfg.model.daq.using_frame_num
+    if not ufn:
+        return raw
+    boundary = (cfg.model.daq.steps or (cfg.solver.max_iter,))[0]
+    n = ufn[0] if step < boundary else ufn[-1]
+    T = raw["images"].shape[1]
+    if n <= 0 or n >= T:
+        return raw
+    start = rng.randint(0, T - n)
+    out = dict(raw)
+    out["images"] = raw["images"][:, start : start + n]
+    out["masks"] = raw["masks"][:, :, start : start + n]
+    out["frame_valid"] = raw["frame_valid"][:, :, start : start + n]
+    return out
 
 
 def build_train_step(cfg: Config, model, optimizer=None, text_classifier=None, num_templates=None):
@@ -266,9 +344,14 @@ def build_train_step(cfg: Config, model, optimizer=None, text_classifier=None, n
             s: jax.jit(lambda st, b, r, _s=s: _train_step(st, b, r, stage=_s))
             for s in (2, 3)
         }
-        counter = {"n": 0}
+        # host-side mirror of state.step so a resumed run restarts in the
+        # right stage (initialized lazily from the restored state; advancing
+        # host-side avoids a device sync per step)
+        counter = {"n": None}
 
         def train_step(state, batch, rng):
+            if counter["n"] is None:
+                counter["n"] = int(state.step)
             stage = 2 if counter["n"] < daq_stage_switch else 3
             counter["n"] += 1
             return jitted[stage](state, batch, rng)

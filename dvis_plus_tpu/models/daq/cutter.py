@@ -224,7 +224,15 @@ class VideoInstanceCutter(nn.Module):
         )
         Cm = 1.0 - a @ b.T  # (S', fQ)
         Cm = jnp.where(row_valid[:, None], Cm, 2.0)  # dead slots: uniform cost
-        return auction_lap(Cm)  # (S',) -> seg query index
+        S_, fQ = Cm.shape
+        if S_ <= fQ:
+            return auction_lap(Cm)  # (S',) -> seg query index
+        # more slots than segmenter queries: LSA assigns each query to one
+        # slot, remaining slots take their per-row argmin (reference
+        # match_with_embeds :746-756: least_cost_indices[lsa_rows] = lsa_cols)
+        least = jnp.argmin(Cm, axis=1)  # (S',)
+        slot4q = auction_lap(jnp.swapaxes(Cm, 0, 1))  # (fQ,) -> slot
+        return least.at[slot4q].set(jnp.arange(fQ))
 
     # ------------------------------------------------------------------
     # slot-table maintenance
@@ -238,13 +246,17 @@ class VideoInstanceCutter(nn.Module):
         tgt_ids: jnp.ndarray,  # (S,) matched GT per query (-1)
         raw_pos: jnp.ndarray,  # (S, C) mask-pooled pos embeds (MLP-projected)
         invalid_for_query: Optional[jnp.ndarray] = None,  # (S,) miss counters
-    ) -> CutterState:
+    ) -> Tuple[CutterState, jnp.ndarray]:
         """Compact activated queries into the fixed slot table; surviving
         track slots carry their SGFF / seq-id state (reference :408-462).
 
         Queries [0, Qc) are the previous track slots (when the previous state
         had any alive; on the first frame ``state.alive`` is all-False so no
-        state is carried regardless of indices)."""
+        state is carried regardless of indices).
+
+        Returns (new_state, src): ``src[slot]`` is the query index feeding
+        each slot (clipped; only meaningful where ``new_state.alive``) so
+        inference can emit slot-aligned per-frame outputs."""
         Qc = self.num_track_slots
         S, C = queries.shape
         order = jnp.argsort(~activated, stable=True)  # activated first
@@ -279,7 +291,7 @@ class VideoInstanceCutter(nn.Module):
         else:
             inval = jnp.where(new_alive, invalid_for_query[src_c], 0)
 
-        return CutterState(
+        new_state = CutterState(
             track_query=new_track_query,
             sg_pos=sg1,
             pos_cache=jnp.where(new_alive[:, None, None], cache1, 0.0),
@@ -291,6 +303,7 @@ class VideoInstanceCutter(nn.Module):
             next_seq=next_seq,
             is_first=jnp.asarray(False),
         )
+        return new_state, src_c
 
     # ------------------------------------------------------------------
     # training forward
@@ -437,7 +450,7 @@ class VideoInstanceCutter(nn.Module):
                 activated = score > self.training_select_thr
 
             raw_pos_proj, raw_pos = self._mask_pos(masks[-1], mask_features[i])
-            state = self._activate_slots(
+            state, _ = self._activate_slots(
                 state, activated, ms[-1], tgt_for_query, raw_pos_proj
             )
 
@@ -543,12 +556,18 @@ class VideoInstanceCutter(nn.Module):
         new_state = self._activate_slots(
             state, activated, emb, tgt_dummy, raw_pos_proj, invalid_for_query
         )
+        new_state, src = new_state
 
+        # slot-aligned outputs: row i describes the instance occupying slot i
+        # AFTER this frame's activation/compaction — the host accumulates per
+        # stable ``seq_id`` (the TPU replacement for the reference's
+        # video_ins_hub dict bookkeeping, track_module.py:698-755)
         out = {
-            "pred_logits": logits,  # (S, K+1) this frame's query set
-            "pred_masks": masks,  # (S, H, W)
-            "valid": valid,
-            "seq_id_prev": state.seq_id,
-            "seq_id_next": new_state.seq_id,
+            "slot_logits": logits[src],  # (Qc, K+1)
+            "slot_masks": masks[src],  # (Qc, H, W) mask logits
+            "slot_embeds": new_state.track_query,  # (Qc, C)
+            "slot_sg_pos": new_state.sg_pos,  # (Qc, C) SGFF pos (refiner pad)
+            "alive": new_state.alive,  # (Qc,)
+            "seq_id": new_state.seq_id,  # (Qc,)
         }
         return out, new_state

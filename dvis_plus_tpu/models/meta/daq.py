@@ -25,7 +25,11 @@ import jax.numpy as jnp
 from dvis_plus_tpu.core.config import ModelConfig
 from dvis_plus_tpu.losses.matcher import MatchCosts
 from dvis_plus_tpu.losses.targets import VideoTargets
-from dvis_plus_tpu.models.daq.cutter import CutterState, VideoInstanceCutter
+from dvis_plus_tpu.models.daq.cutter import (
+    CutterState,
+    VideoInstanceCutter,
+    init_cutter_state,
+)
 from dvis_plus_tpu.models.daq.matcher import FrameMatchResult, frame_match
 from dvis_plus_tpu.models.segmenter.segmenter import Segmenter
 
@@ -47,8 +51,11 @@ class DAQOnline(nn.Module):
             num_new_ins=d.num_new_ins,
             num_slots=d.num_slots,
             num_track_slots=d.max_num_instances,
-            inference_select_thr=d.track_score_thr,
-            kick_out_frame_num=d.miss_tolerance,
+            training_select_thr=d.training_select_thr,
+            inference_select_thr=d.inference_select_thr,
+            kick_out_frame_num=d.kick_out_frame_num,
+            keep_threshold=d.keep_threshold,
+            ovis_infer=d.ovis_infer,
         )
 
     def _segment(self, images: jnp.ndarray):
@@ -178,6 +185,93 @@ class DAQOffline(nn.Module):
     def cutter_step(self, *args, **kwargs):
         return self.online.cutter.inference_step(*args, **kwargs)
 
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (T, H, W, 3) one clip
+        targets: Optional[VideoTargets] = None,  # unused; kept for init parity
+        rng: Optional[jax.Array] = None,
+    ):
+        """Training forward (reference DVIS_DAQ_offline.forward :1085-1137):
+        frozen segmenter + frozen cutter run streaming inference in-graph
+        (static slot table; the reference's no_grad common_inference), the
+        per-sequence embed series feeds the trainable refiner.
+
+        TPU redesign of the python-dict seq bookkeeping: sequences are capped
+        at ``S = max_num_instances``; per frame the slot-aligned outputs are
+        scattered into per-seq rows by the stable ``seq_id`` (later sequences
+        drop — the reference keeps all, but with T <= 20 training frames and
+        S = 50 capacity the cap is never hit in practice).
+
+        Returns (online_out, refine_out): online_out carries the per-seq mean
+        logits + full masks for matcher guidance (first training half)."""
+        T = images.shape[0]
+        seg_out = self.online._segment(images)
+        cutter = self.online.cutter
+        Qc = cutter.num_track_slots
+        S = Qc  # seq capacity == slot capacity
+        d = self.cfg.daq
+
+        fe = seg_out["pred_embds_without_norm"]  # (T, fQ, C)
+        mf = seg_out["mask_features"]  # (T, H4, W4, Cm)
+        qf = seg_out["query_feat"]  # (fQ, C)
+        pm = seg_out["pred_masks"]  # (T, fQ, H4, W4)
+        C = fe.shape[-1]
+        K1 = self.cfg.num_classes + 1
+        H4, W4 = mf.shape[1:3]
+
+        state = init_cutter_state(Qc, C, fe.dtype)
+        embeds_seq = jnp.zeros((S, T, C), fe.dtype)
+        logits_seq = jnp.zeros((S, T, K1), jnp.float32)
+        masks_seq = jnp.full((S, T, H4, W4), -1e4, jnp.float32)
+        sg_seq = jnp.zeros((S, C), fe.dtype)
+        tv = jnp.zeros((S, T), bool)
+
+        for t in range(T):
+            if t == 0:
+                prob = jax.nn.softmax(seg_out["pred_logits"][0].astype(jnp.float32), -1)
+                valid0 = prob[:, :-1].max(axis=1) > d.aux_inference_select_thr
+            else:
+                valid0 = jnp.zeros((fe.shape[1],), bool)
+            out, state = cutter.inference_step(
+                state, fe[t], mf[t], qf, pm[t], valid0, first=(t == 0)
+            )
+            out = jax.tree.map(jax.lax.stop_gradient, out)
+            sid = jnp.where(out["alive"], out["seq_id"], S)  # S = drop row
+            sid = jnp.where(sid < S, sid, S)
+            embeds_seq = embeds_seq.at[sid, t].set(out["slot_embeds"], mode="drop")
+            logits_seq = logits_seq.at[sid, t].set(
+                out["slot_logits"].astype(jnp.float32), mode="drop"
+            )
+            masks_seq = masks_seq.at[sid, t].set(
+                out["slot_masks"].astype(jnp.float32), mode="drop"
+            )
+            sg_seq = sg_seq.at[sid].set(out["slot_sg_pos"], mode="drop")
+            tv = tv.at[sid, t].set(True, mode="drop")
+
+        cnt = tv.sum(axis=1)
+        seq_valid = cnt > 0
+        mean_logits = (logits_seq * tv[..., None]).sum(axis=1) / jnp.maximum(
+            cnt[:, None], 1
+        )  # (S, K+1)
+        probs = jax.nn.softmax(mean_logits, axis=-1)
+        scores = jnp.where(seq_valid, probs[:, :-1].max(axis=1), -1.0)
+        inst_mask = offline_topk_mask(scores, seq_valid, d.offline_topk_num)
+
+        # absent frames carry the sequence's SGFF pos embed (reference
+        # common_inference :1254-1266, padding_embed = identity)
+        embeds_filled = jnp.where(tv[..., None], embeds_seq, sg_seq[:, None])
+        inst = jnp.swapaxes(embeds_filled, 0, 1)[None]  # (1, T, S, C)
+        frame_embeds = fe[None]  # (1, T, fQ, C)
+        refine_out = self.refiner(
+            inst, frame_embeds, mf[None], training=True,
+            instance_mask=inst_mask[None],
+        )
+        online_out = {
+            "pred_logits": mean_logits[None, None],  # (1, 1, S, K+1)
+            "pred_masks": masks_seq[None],  # (1, S, T, H4, W4)
+        }
+        return online_out, refine_out
+
     def refine(
         self,
         slot_embeds: jnp.ndarray,  # (1, T, Qc, C) per-frame tracked embeds
@@ -189,6 +283,16 @@ class DAQOffline(nn.Module):
             slot_embeds, frame_embeds, mask_features, training=False,
             instance_mask=topk_mask,
         )
+
+    def refine_embeds(self, slot_embeds, frame_embeds, topk_mask):
+        """HBM-bounded refiner pass (no mask features); pair with
+        :meth:`refine_mask_window` per time chunk."""
+        return self.refiner.embed_pass(
+            slot_embeds, frame_embeds, instance_mask=topk_mask
+        )
+
+    def refine_mask_window(self, mask_embed, mask_features):
+        return self.refiner.mask_window(mask_embed, mask_features)
 
 
 def offline_topk_mask(

@@ -185,11 +185,18 @@ def dvis_offline_train_loss(
     ml = loss_masks(rngs[0], outputs.pred_masks, flat_targets, q4g, num_masks, ccfg)
     losses["loss_mask"] = ccfg.mask_weight * ml["loss_mask"]
     losses["loss_dice"] = ccfg.dice_weight * ml["loss_dice"]
+    # self-match mode re-matches each aux layer (criterion.py:242-249)
+    aux_rngs = jax.random.split(rng_m, len(aux) + 1)
     for i, a in enumerate(aux):
-        losses[f"loss_ce_{i}"] = ccfg.class_weight * loss_labels(
-            a.pred_logits, flat_targets, q4g, ccfg
+        q4g_aux = jnp.where(
+            use_matcher_guidance,
+            q4g_guided,
+            _match(aux_rngs[i], a, flat_targets, ccfg),
         )
-        ml = loss_masks(rngs[1 + i], a.pred_masks, flat_targets, q4g, num_masks, ccfg)
+        losses[f"loss_ce_{i}"] = ccfg.class_weight * loss_labels(
+            a.pred_logits, flat_targets, q4g_aux, ccfg
+        )
+        ml = loss_masks(rngs[1 + i], a.pred_masks, flat_targets, q4g_aux, num_masks, ccfg)
         losses[f"loss_mask_{i}"] = ccfg.mask_weight * ml["loss_mask"]
         losses[f"loss_dice_{i}"] = ccfg.dice_weight * ml["loss_dice"]
 

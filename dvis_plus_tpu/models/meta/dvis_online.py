@@ -154,11 +154,18 @@ def dvis_online_train_loss(
     ml = loss_masks(rngs[0], outputs.pred_masks, targets, q4g, num_masks, ccfg)
     losses["loss_mask"] = ccfg.mask_weight * ml["loss_mask"]
     losses["loss_dice"] = ccfg.dice_weight * ml["loss_dice"]
+    # In self-match mode the reference re-matches EVERY aux layer on its own
+    # predictions (mask2former_video/modeling/criterion.py:242-249); only the
+    # guided mode pins one assignment for all layers.
+    aux_rngs = jax.random.split(rng_m, len(aux) + 1)
     for i, a in enumerate(aux):
-        losses[f"loss_ce_{i}"] = ccfg.class_weight * loss_labels(
-            a.pred_logits, targets, q4g, ccfg
+        q4g_aux = jnp.where(
+            use_matcher_guidance, q4g_guided, _match(aux_rngs[i], a, targets, ccfg)
         )
-        ml = loss_masks(rngs[1 + i], a.pred_masks, targets, q4g, num_masks, ccfg)
+        losses[f"loss_ce_{i}"] = ccfg.class_weight * loss_labels(
+            a.pred_logits, targets, q4g_aux, ccfg
+        )
+        ml = loss_masks(rngs[1 + i], a.pred_masks, targets, q4g_aux, num_masks, ccfg)
         losses[f"loss_mask_{i}"] = ccfg.mask_weight * ml["loss_mask"]
         losses[f"loss_dice_{i}"] = ccfg.dice_weight * ml["loss_dice"]
 

@@ -157,6 +157,9 @@ class DVISOnlineOV(nn.Module):
     def pool_clip(self, clip_dense, masks):
         return self.segmenter.pool_clip(clip_dense, masks)
 
+    def clip_logit_scale(self):
+        return self.segmenter.clip_logit_scale()
+
 
 class DVISOfflineOV(nn.Module):
     """+ OV temporal refiner (DVIS_offline_OV :1753)."""
@@ -206,22 +209,47 @@ class DVISOfflineOV(nn.Module):
         )
         return seg_out, track_out, refine_out, new_state
 
+    # ---- windowed-inference pieces (HBM-bounded; engine/ov_inference.py) ----
+
+    def online_forward(self, images, text_classifier, num_templates, state=None):
+        return self.online(images, text_classifier, num_templates, state=state)
+
+    def refine_embeds(self, instance_embeds, frame_embeds):
+        return self.refiner.embed_pass(instance_embeds, frame_embeds)
+
+    def refine_mask_window(self, mask_embed, mask_features):
+        return self.refiner.mask_window(mask_embed, mask_features)
+
+    def refine_ov_classify(self, fused, pooled, text_classifier, num_templates):
+        return self.refiner.ov_classify(fused, pooled, text_classifier, num_templates)
+
+    def pool_clip(self, clip_dense, masks):
+        return self.online.pool_clip(clip_dense, masks)
+
+    def clip_logit_scale(self):
+        return self.online.clip_logit_scale()
+
 
 def ov_ensemble_inference(
     in_vocab_logits: jnp.ndarray,  # (T, Q, K+1) from the model
-    pooled_clip_embeds: jnp.ndarray,  # (T, Q, Cc) pool_clip output
+    pooled_clip_embeds: Optional[jnp.ndarray],  # (T, Q, Cc) pool_clip output
     text_classifier: jnp.ndarray,
     num_templates: Sequence[int],
     logit_scale: jnp.ndarray,
     category_overlapping: jnp.ndarray,  # (K,)
     alpha: float = 0.4,
     beta: float = 0.8,
+    out_vocab_logits: Optional[jnp.ndarray] = None,  # precomputed (T, Q, K+1)
 ) -> jnp.ndarray:
     """Final OV logits (reference :566-645): out-of-vocab CLIP logits +
-    geometric ensemble + void renormalization. Returns (T, Q, K+1) log-probs."""
-    out_logits = get_classification_logits(
-        pooled_clip_embeds, text_classifier, logit_scale, num_templates
-    )
+    geometric ensemble + void renormalization. Returns (T, Q, K+1) log-probs.
+
+    Pass either ``pooled_clip_embeds`` (classified here) or precomputed
+    ``out_vocab_logits``."""
+    if out_vocab_logits is None:
+        out_vocab_logits = get_classification_logits(
+            pooled_clip_embeds, text_classifier, logit_scale, num_templates
+        )
     return geometric_ensemble(
-        in_vocab_logits, out_logits, category_overlapping, alpha, beta
+        in_vocab_logits, out_vocab_logits, category_overlapping, alpha, beta
     )

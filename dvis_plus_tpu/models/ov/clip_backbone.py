@@ -109,15 +109,15 @@ class CLIPTextEncoder(nn.Module):
         from dvis_plus_tpu.models.segmenter.transformer_decoder import MultiHeadAttention
 
         for i in range(self.layers):
-            h = nn.LayerNorm(name=f"ln_1_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ln_1_{i}")(x)
             h = MultiHeadAttention(self.width, self.heads, name=f"attn_{i}")(h, h, h, mask)
             x = x + h
-            h = nn.LayerNorm(name=f"ln_2_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ln_2_{i}")(x)
             h = nn.Dense(4 * self.width, name=f"mlp_fc_{i}")(h)
             h = nn.gelu(h, approximate=False)
             h = nn.Dense(self.width, name=f"mlp_proj_{i}")(h)
             x = x + h
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         # EOT pooling: the highest token id is the end-of-text marker
         eot = jnp.argmax(tokens, axis=-1)
         pooled = x[jnp.arange(B), eot]
@@ -194,4 +194,56 @@ def convert_open_clip_convnext(state_dict: Dict[str, np.ndarray], depths=(3, 3, 
                 },
                 "gamma": g(f"{pre}.gamma"),
             }
+    return p
+
+
+def convert_open_clip_text(state_dict: Dict[str, np.ndarray], layers: int = 16,
+                           heads: int = 12) -> Dict:
+    """open_clip text-tower state_dict -> flax :class:`CLIPTextEncoder` params.
+
+    Handles both naming layouts: plain CLIP (``token_embedding.weight``,
+    ``transformer.resblocks.N.*``, ``ln_final``, ``text_projection``) and
+    CustomTextCLIP's ``text.``-prefixed variant (the convnext_large_d_320
+    checkpoints the reference loads, ov_dvis/backbones/clip.py:88-100)."""
+
+    def g(k):
+        if k in state_dict:
+            return np.asarray(state_dict[k])
+        return np.asarray(state_dict[f"text.{k}"])
+
+    width = g("positional_embedding").shape[1]
+    dh = width // heads
+
+    p: Dict[str, Any] = {
+        "token_embedding": {"embedding": g("token_embedding.weight")},
+        "positional_embedding": g("positional_embedding"),
+        "ln_final": {"scale": g("ln_final.weight"), "bias": g("ln_final.bias")},
+        "text_projection": g("text_projection"),
+    }
+    for i in range(layers):
+        pre = f"transformer.resblocks.{i}"
+        in_w = g(f"{pre}.attn.in_proj_weight")  # (3W, W) rows [q; k; v]
+        in_b = g(f"{pre}.attn.in_proj_bias")
+        qw, kw, vw = np.split(in_w, 3, axis=0)
+        qb, kb, vb = np.split(in_b, 3, axis=0)
+        out_w = g(f"{pre}.attn.out_proj.weight")  # (W, W)
+        p[f"ln_1_{i}"] = {"scale": g(f"{pre}.ln_1.weight"), "bias": g(f"{pre}.ln_1.bias")}
+        p[f"attn_{i}"] = {
+            "q_proj": {"kernel": qw.T.reshape(width, heads, dh), "bias": qb.reshape(heads, dh)},
+            "k_proj": {"kernel": kw.T.reshape(width, heads, dh), "bias": kb.reshape(heads, dh)},
+            "v_proj": {"kernel": vw.T.reshape(width, heads, dh), "bias": vb.reshape(heads, dh)},
+            "out_proj": {
+                "kernel": out_w.T.reshape(heads, dh, width),
+                "bias": g(f"{pre}.attn.out_proj.bias"),
+            },
+        }
+        p[f"ln_2_{i}"] = {"scale": g(f"{pre}.ln_2.weight"), "bias": g(f"{pre}.ln_2.bias")}
+        p[f"mlp_fc_{i}"] = {
+            "kernel": g(f"{pre}.mlp.c_fc.weight").T,
+            "bias": g(f"{pre}.mlp.c_fc.bias"),
+        }
+        p[f"mlp_proj_{i}"] = {
+            "kernel": g(f"{pre}.mlp.c_proj.weight").T,
+            "bias": g(f"{pre}.mlp.c_proj.bias"),
+        }
     return p

@@ -43,6 +43,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
-    """Place a host batch pytree onto the mesh, leading axis over data."""
-    sh = data_sharding(mesh, data_axis)
+    """Place a host batch pytree onto the mesh, leading axis over data.
+
+    If the batch size doesn't divide the data axis (e.g. debug runs with 1
+    clip on an 8-device mesh), arrays are replicated instead — jit still
+    produces correct results, just without data parallelism."""
+    n_data = mesh.shape[data_axis]
+    leaves = jax.tree.leaves(batch)
+    divisible = all(l.shape[0] % n_data == 0 for l in leaves)
+    sh = data_sharding(mesh, data_axis) if divisible else replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -67,3 +67,126 @@ def test_eval_path(arch, synth_dataset, tmp_path):  # noqa: F811
     assert len(rows) == 2 * cfg.test.max_num
     assert all(len(r["segmentations"]) == 6 for r in rows)
     assert "AP" in res
+
+
+@pytest.mark.parametrize("arch", ["daq_online", "daq_offline"])
+def test_daq_eval_path(arch, synth_dataset, tmp_path):  # noqa: F811
+    """DAQ streaming inference driver: per-frame cutter steps with seq-id
+    bookkeeping, noise filtering, top-K (reference track_module.py:606-770),
+    and for daq_offline the top-K refiner pass (meta_architecture.py:1169+)."""
+    import jax
+
+    from train_net_video import build_model, init_params
+
+    cfg = tiny_cfg(arch)
+    cfg.model.daq.num_new_ins = 4
+    cfg.model.daq.max_num_instances = 6
+    cfg.model.daq.offline_topk_num = 3
+    cfg.model.daq.inference_select_thr = 0.0  # random weights: keep everything
+    cfg.model.daq.aux_inference_select_thr = 0.0
+    model = build_model(cfg)
+    params = init_params(cfg, model, jax.random.key(0))
+
+    md = get_metadata("synth_train")
+    evaluator = YTVISEvaluator(
+        "synth_train",
+        str(tmp_path),
+        contiguous_to_dataset_id={v: k for k, v in md.thing_dataset_id_to_contiguous_id.items()},
+        gt_json=md.json_file,
+    )
+    loader = build_test_loader(cfg, "synth_train")
+    run_vis_inference(cfg, model, params, loader, evaluator)
+    res = evaluator.evaluate()
+    assert os.path.exists(os.path.join(str(tmp_path), "results.json"))
+    with open(os.path.join(str(tmp_path), "results.json")) as f:
+        rows = json.load(f)
+    assert len(rows) > 0
+    assert all(len(r["segmentations"]) == 6 for r in rows)
+    assert "AP" in res
+
+
+@pytest.fixture(scope="module")
+def synth_vps_vss(tmp_path_factory):
+    """VIPSeg + VSPW synthetic trees registered under their standard names."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import synth_data
+
+    from dvis_plus_tpu.data.datasets.vps_vss import (
+        register_all_vipseg,
+        register_all_vspw,
+    )
+
+    root = str(tmp_path_factory.mktemp("dvis_synth"))
+    synth_data.make_vipseg(root)
+    synth_data.make_vspw(root)
+    register_all_vipseg(root)
+    register_all_vspw(root)
+    return root
+
+
+@pytest.mark.parametrize(
+    "task,dataset,dtype_name",
+    [
+        ("vps", "panoVSPW_vps_video_val", "video_panoptic"),
+        ("vss", "VSPW_vss_video_val", "video_semantic"),
+    ],
+)
+def test_vps_vss_eval_path(task, dataset, dtype_name, synth_vps_vss, tmp_path):
+    """VPS/VSS end-to-end: dataset-type-routed mapper -> windowed inference ->
+    panoptic/semantic post-processing -> PNG-writing evaluators (VERDICT
+    missing #3; reference train_net_video.py:117-127 + vps/vss evaluators)."""
+    import jax
+
+    from train_net_video import build_model, init_params, run_task_eval
+    from dvis_plus_tpu.data.build import build_test_loader
+
+    cfg = tiny_cfg("dvis_online")
+    cfg.model.num_classes = 3
+    cfg.test.task = task
+    cfg.datasets.test = (dataset,)
+    cfg.datasets.dataset_type_test = (dtype_name,)
+    cfg.output_dir = str(tmp_path)
+    model = build_model(cfg)
+    params = init_params(cfg, model, jax.random.key(0))
+
+    loader = build_test_loader(cfg, dataset, dataset_type=dtype_name)
+    res = run_task_eval(cfg, model, params, loader, dataset, dtype_name)
+    assert res["videos"] == 2
+    out_dir = os.path.join(str(tmp_path), "inference", dataset)
+    if task == "vps":
+        assert os.path.exists(os.path.join(out_dir, "pred.json"))
+        pngs = [
+            f
+            for _, _, fs in os.walk(os.path.join(out_dir, "pan_pred"))
+            for f in fs
+            if f.endswith(".png")
+        ]
+        assert len(pngs) == 2 * 4  # 2 videos x 4 frames
+    else:
+        pngs = [
+            f for _, _, fs in os.walk(out_dir) for f in fs if f.endswith(".png")
+        ]
+        assert len(pngs) == 2 * 4
+
+
+def test_vps_vss_train_loader_routing(synth_vps_vss):
+    """Training loader routes the panoptic/semantic mappers by dataset_type."""
+    from dvis_plus_tpu.data.build import build_combined_train_loader
+
+    cfg = tiny_cfg("dvis_online")
+    cfg.model.num_classes = 3
+    cfg.datasets.train = ("panoVSPW_vps_video_train",)
+    cfg.datasets.dataset_type = ("video_panoptic",)
+    cfg.solver.ims_per_batch = 1
+    loader = build_combined_train_loader(cfg, seed=0)
+    batch = next(loader)
+    assert batch["images"].ndim == 5 and batch["masks"].ndim == 5
+    assert batch["valid"].any()  # thing + stuff slots present
+
+    cfg.datasets.train = ("VSPW_vss_video_train",)
+    cfg.datasets.dataset_type = ("video_semantic",)
+    loader = build_combined_train_loader(cfg, seed=0)
+    batch = next(loader)
+    assert batch["valid"].any()

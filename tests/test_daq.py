@@ -109,8 +109,13 @@ def test_daq_streaming_inference(daq_model):
             first=(i == 0),
             method=DAQOnline.cutter_step,
         )
-        assert out["pred_logits"].shape[-1] == K + 1
+        assert out["slot_logits"].shape == (Qc, K + 1)
+        assert out["slot_masks"].shape[0] == Qc
         assert state.alive.shape == (Qc,)
+        # slot-aligned outputs: embeds row == the new state's track query
+        np.testing.assert_allclose(
+            np.asarray(out["slot_embeds"]), np.asarray(state.track_query), atol=1e-6
+        )
     # after 3 frames some slots should be alive (validity was permissive)
     assert int(state.alive.sum()) > 0
     # seq ids of alive slots are unique
@@ -168,3 +173,107 @@ def test_daq_build_train_step(daq_model):
     state, m2 = train_step(state, batch, jax.random.key(1))   # stage 3
     assert np.isfinite(float(m1["total_loss"]))
     assert np.isfinite(float(m2["total_loss"]))
+
+
+def test_daq_offline_train_step(daq_model):
+    """daq_offline training: in-graph streaming cutter (frozen) + refiner on
+    top-K sequences (reference DVIS_DAQ_offline.forward :1085-1137); refiner
+    gets gradients, cutter + segmenter do not."""
+    from dvis_plus_tpu.engine.trainer import Batch, build_train_step
+    from dvis_plus_tpu.models.meta.daq import DAQOffline
+
+    cfg, _, _ = daq_model
+    import copy
+
+    cfg = copy.deepcopy(cfg)
+    cfg.model.meta_architecture = "daq_offline"
+    cfg.model.freeze = ("segmenter", "cutter")
+    cfg.model.refiner.num_layers = 1
+    cfg.model.refiner.feedforward_dim = 64
+    cfg.model.refiner.num_heads = 4
+    cfg.model.daq.offline_topk_num = 3
+    cfg.model.daq.aux_inference_select_thr = 0.0
+    cfg.solver.max_iter = 4
+    model = DAQOffline(cfg.model)
+    targets = make_targets()
+    images = jnp.zeros((T, H, W, 3), jnp.float32)
+    params = model.init(jax.random.key(0), images, targets, jax.random.key(1))
+
+    # snapshot before training: the default train step donates the state
+    p0_cutter = [np.asarray(x) for x in jax.tree.leaves(params["params"]["online"]["cutter"])]
+    p0_refiner = [np.asarray(x) for x in jax.tree.leaves(params["params"]["refiner"])]
+    train_step, init_state = build_train_step(cfg, model)
+    state = init_state(params)
+    batch = Batch(
+        images=jnp.asarray(np.random.RandomState(2).randn(1, T, H, W, 3), jnp.float32),
+        targets=jax.tree.map(lambda x: x[None], targets),
+    )
+    losses = []
+    for _ in range(2):
+        state, metrics = train_step(state, batch, jax.random.key(5))
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    # frozen predicate masked the cutter/segmenter updates
+    p1 = jax.tree.leaves(state.params["params"]["online"]["cutter"])
+    assert all(np.allclose(a, np.asarray(b)) for a, b in zip(p0_cutter, p1))
+    r1 = jax.tree.leaves(state.params["params"]["refiner"])
+    assert any(not np.allclose(a, np.asarray(b)) for a, b in zip(p0_refiner, r1))
+
+
+def test_daq_curriculum_slice():
+    from dvis_plus_tpu.engine.trainer import daq_curriculum_slice
+    import random
+
+    cfg = Config()
+    cfg.model.daq.using_frame_num = (2, 4)
+    cfg.model.daq.steps = (10,)
+    raw = {
+        "images": np.zeros((1, 5, 8, 8, 3)),
+        "masks": np.zeros((1, 3, 5, 2, 2)),
+        "frame_valid": np.zeros((1, 3, 5), bool),
+        "labels": np.zeros((1, 3), np.int32),
+        "valid": np.zeros((1, 3), bool),
+    }
+    rng = random.Random(0)
+    early = daq_curriculum_slice(cfg, 0, raw, rng)
+    assert early["images"].shape[1] == 2 and early["masks"].shape[2] == 2
+    late = daq_curriculum_slice(cfg, 10, raw, rng)
+    assert late["images"].shape[1] == 4 and late["frame_valid"].shape[2] == 4
+    # no curriculum configured -> untouched
+    cfg.model.daq.using_frame_num = ()
+    assert daq_curriculum_slice(cfg, 0, raw, rng) is raw
+
+
+def test_daq_stage_resumes_from_state_step(daq_model):
+    """Stage 2->3 switch keys off the restored state's step (VERDICT weak #5:
+    a resumed stage-3 run must not restart in stage 2)."""
+    from dvis_plus_tpu.engine.trainer import TrainState, build_train_step
+    import copy
+
+    cfg, model, params = daq_model
+    cfg = copy.deepcopy(cfg)
+    cfg.model.meta_architecture = "daq_online"
+    cfg.model.daq.steps = (2,)
+    cfg.solver.max_iter = 10
+
+    seen = []
+    import dvis_plus_tpu.engine.trainer as trainer_mod
+
+    train_step, init_state = build_train_step(cfg, model)
+    state = init_state(params)
+    # simulate a resume at step 5 (past the switch)
+    state = state._replace(step=jnp.asarray(5, jnp.int32))
+
+    # peek at the counter through the closure: after one call the host mirror
+    # must be 6 (resumed at 5), i.e. stage 3 was chosen, not stage 2
+    batch_targets = jax.tree.map(lambda x: x[None], make_targets())
+    from dvis_plus_tpu.engine.trainer import Batch
+
+    batch = Batch(
+        images=jnp.zeros((1, T, H, W, 3), jnp.float32), targets=batch_targets
+    )
+    cell = train_step.__closure__
+    state2, _ = train_step(state, batch, jax.random.key(0))
+    counters = [c.cell_contents for c in cell if isinstance(c.cell_contents, dict)]
+    counter = [c for c in counters if "n" in c][0]
+    assert counter["n"] == 6

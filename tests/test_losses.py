@@ -117,3 +117,65 @@ def test_criterion_jits_and_grads():
 
     g = jax.grad(total)(outputs.pred_masks)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_aux_layers_rematch_in_self_match_mode():
+    """In self-match mode every aux layer is re-matched on its own predictions
+    (reference criterion.py:242-249): a query-permuted aux layer must produce
+    the same loss as the final layer (the assignment adapts), while guided
+    mode pins one assignment for all layers."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvis_plus_tpu.losses.criterion import CriterionConfig
+    from dvis_plus_tpu.losses.targets import VideoTargets
+    from dvis_plus_tpu.models.meta.dvis_online import dvis_online_train_loss
+
+    B, T, Q, K, Hm, Wm, N = 1, 2, 4, 3, 8, 8, 2
+    rng = np.random.RandomState(0)
+    # unambiguous geometry: each query predicts a disjoint block; GT 0/1 are
+    # exact copies of query 1 / query 3 masks, so any sampled point set gives
+    # the same optimal assignment
+    masks_np = np.full((B, Q, T, Hm, Wm), -8.0, np.float32)
+    for q in range(Q):
+        masks_np[:, q, :, 2 * q : 2 * q + 2, :] = 8.0
+    gt = np.zeros((B, N, T, Hm, Wm), bool)
+    gt[:, 0] = masks_np[:, 1] > 0
+    gt[:, 1] = masks_np[:, 3] > 0
+    logits = jnp.asarray(rng.randn(B, T, Q, K + 1).astype(np.float32))
+    masks = jnp.asarray(masks_np)
+    perm = jnp.asarray([2, 0, 3, 1])
+    track_out = {
+        "pred_logits": logits,
+        "pred_masks": masks,
+        "aux_pred_logits": [logits[:, :, perm]],
+        "aux_pred_masks": [masks[:, perm]],
+        "pred_references": jnp.asarray(rng.randn(B, T, Q, 8).astype(np.float32)),
+        "indices": jnp.tile(jnp.arange(Q)[None, None], (B, T, 1)),
+    }
+    seg_out = {
+        "pred_logits": logits.reshape(B * T, Q, K + 1),
+        "pred_masks": jnp.swapaxes(masks, 1, 2).reshape(B * T, Q, Hm, Wm),
+    }
+    targets = VideoTargets(
+        labels=jnp.asarray([[0, 1]]),
+        masks=jnp.asarray(gt),
+        valid=jnp.asarray([[True, True]]),
+        frame_valid=jnp.ones((B, N, T), bool),
+    )
+    ccfg = CriterionConfig(num_classes=K, num_points=32)
+    losses = dvis_online_train_loss(
+        jax.random.key(1), seg_out, track_out, targets, ccfg,
+        use_matcher_guidance=jnp.asarray(False), use_cl=False,
+    )
+    # permuted aux layer re-matched -> same dice loss as the final layer
+    # (up to per-layer point-sampling noise)
+    np.testing.assert_allclose(
+        float(losses["loss_dice_0"]), float(losses["loss_dice"]), rtol=0.02
+    )
+    guided = dvis_online_train_loss(
+        jax.random.key(1), seg_out, track_out, targets, ccfg,
+        use_matcher_guidance=jnp.asarray(True), use_cl=False,
+    )
+    # guided mode pins the assignment: the permuted aux layer scores worse
+    assert float(guided["loss_dice_0"]) > float(guided["loss_dice"]) + 0.1

@@ -172,3 +172,86 @@ def test_ov_train_step(tiny_ov_model):
     state = init_state(params)
     state, metrics = train_step(state, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_text_tower_conversion_matches_torch():
+    """convert_open_clip_text: our flax CLIPTextEncoder on converted weights
+    must match a torch forward using torch's own multi_head_attention_forward
+    (validates the in_proj/out_proj reshape conventions; the reference loads
+    these checkpoints at ov_dvis/backbones/clip.py:88-100)."""
+    import torch
+    import torch.nn.functional as F
+
+    from dvis_plus_tpu.models.ov.clip_backbone import (
+        CLIPTextEncoder,
+        convert_open_clip_text,
+    )
+
+    L_CTX, W, HEADS, LAYERS, EMB, VOCAB = 12, 32, 4, 2, 16, 64
+    rng = np.random.RandomState(0)
+    sd = {
+        "token_embedding.weight": rng.randn(VOCAB, W).astype(np.float32) * 0.02,
+        "positional_embedding": rng.randn(L_CTX, W).astype(np.float32) * 0.01,
+        "ln_final.weight": rng.rand(W).astype(np.float32) + 0.5,
+        "ln_final.bias": rng.randn(W).astype(np.float32) * 0.1,
+        "text_projection": rng.randn(W, EMB).astype(np.float32) * 0.1,
+    }
+    for i in range(LAYERS):
+        pre = f"text.transformer.resblocks.{i}"  # CustomTextCLIP prefix
+        sd[f"{pre}.ln_1.weight"] = rng.rand(W).astype(np.float32) + 0.5
+        sd[f"{pre}.ln_1.bias"] = rng.randn(W).astype(np.float32) * 0.1
+        sd[f"{pre}.attn.in_proj_weight"] = rng.randn(3 * W, W).astype(np.float32) * 0.1
+        sd[f"{pre}.attn.in_proj_bias"] = rng.randn(3 * W).astype(np.float32) * 0.1
+        sd[f"{pre}.attn.out_proj.weight"] = rng.randn(W, W).astype(np.float32) * 0.1
+        sd[f"{pre}.attn.out_proj.bias"] = rng.randn(W).astype(np.float32) * 0.1
+        sd[f"{pre}.ln_2.weight"] = rng.rand(W).astype(np.float32) + 0.5
+        sd[f"{pre}.ln_2.bias"] = rng.randn(W).astype(np.float32) * 0.1
+        sd[f"{pre}.mlp.c_fc.weight"] = rng.randn(4 * W, W).astype(np.float32) * 0.1
+        sd[f"{pre}.mlp.c_fc.bias"] = rng.randn(4 * W).astype(np.float32) * 0.1
+        sd[f"{pre}.mlp.c_proj.weight"] = rng.randn(W, 4 * W).astype(np.float32) * 0.1
+        sd[f"{pre}.mlp.c_proj.bias"] = rng.randn(W).astype(np.float32) * 0.1
+
+    tokens = np.zeros((2, L_CTX), np.int32)
+    tokens[0, :4] = [1, 5, 9, VOCAB - 1]  # eot = argmax = last real token
+    tokens[1, :3] = [1, 7, VOCAB - 1]
+
+    # --- torch oracle (open_clip ResidualAttentionBlock math) ---
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+
+    def tget(k):
+        return t.get(k, t.get(f"text.{k}"))
+
+    x = tget("token_embedding.weight")[torch.from_numpy(tokens).long()]
+    x = x + tget("positional_embedding")[None]
+    x = x.transpose(0, 1)  # (L, B, W)
+    causal = torch.full((L_CTX, L_CTX), float("-inf")).triu(1)
+    for i in range(LAYERS):
+        pre = f"transformer.resblocks.{i}"
+        h = F.layer_norm(x, (W,), tget(f"{pre}.ln_1.weight"), tget(f"{pre}.ln_1.bias"))
+        attn_out, _ = F.multi_head_attention_forward(
+            h, h, h, W, HEADS,
+            tget(f"{pre}.attn.in_proj_weight"), tget(f"{pre}.attn.in_proj_bias"),
+            None, None, False, 0.0,
+            tget(f"{pre}.attn.out_proj.weight"), tget(f"{pre}.attn.out_proj.bias"),
+            need_weights=False, attn_mask=causal,
+        )
+        x = x + attn_out
+        h2 = F.layer_norm(x, (W,), tget(f"{pre}.ln_2.weight"), tget(f"{pre}.ln_2.bias"))
+        h2 = F.linear(h2, tget(f"{pre}.mlp.c_fc.weight"), tget(f"{pre}.mlp.c_fc.bias"))
+        h2 = F.gelu(h2)
+        h2 = F.linear(h2, tget(f"{pre}.mlp.c_proj.weight"), tget(f"{pre}.mlp.c_proj.bias"))
+        x = x + h2
+    x = x.transpose(0, 1)
+    x = F.layer_norm(x, (W,), tget("ln_final.weight"), tget("ln_final.bias"))
+    eot = torch.from_numpy(tokens).long().argmax(dim=-1)
+    pooled = x[torch.arange(2), eot]
+    want = (pooled @ tget("text_projection")).detach().numpy()
+
+    # --- ours ---
+    enc = CLIPTextEncoder(
+        vocab_size=VOCAB, context_length=L_CTX, width=W, heads=HEADS,
+        layers=LAYERS, embed_dim=EMB,
+    )
+    params = {"params": convert_open_clip_text(sd, layers=LAYERS, heads=HEADS)}
+    got = np.asarray(enc.apply(params, jnp.asarray(tokens)))
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -80,15 +80,35 @@ def init_params(cfg, model, rng):
     return jax.jit(model.init)(rng, images)
 
 
+def register_all_datasets():
+    """Register every dataset family (reference builtin.py:22-122 + vps/vss
+    + COCO pseudo-video); missing files register lazily."""
+    root = os.environ.get("DVIS_DATASETS", "datasets")
+    from dvis_plus_tpu.data.datasets.ytvis import register_all_ytvis
+    from dvis_plus_tpu.data.datasets.vps_vss import (
+        register_all_vipseg,
+        register_all_vspw,
+    )
+
+    register_all_ytvis(root)
+    register_all_vipseg(root)
+    register_all_vspw(root)
+    try:
+        from dvis_plus_tpu.data.datasets.coco import register_all_coco
+
+        register_all_coco(root)
+    except ImportError:
+        pass
+
+
 def do_train(cfg, args):
     from dvis_plus_tpu.core import checkpoint as ckpt
     from dvis_plus_tpu.data.build import build_combined_train_loader
-    from dvis_plus_tpu.data.datasets.ytvis import register_all_ytvis
     from dvis_plus_tpu.engine.trainer import Batch, build_train_step
     from dvis_plus_tpu.losses.targets import VideoTargets
     from dvis_plus_tpu.parallel.mesh import build_mesh, shard_batch
 
-    register_all_ytvis(os.environ.get("DVIS_DATASETS", "datasets"))
+    register_all_datasets()
     model = build_model(cfg)
     rng = jax.random.key(cfg.seed)
     params = init_params(cfg, model, rng)
@@ -114,8 +134,16 @@ def do_train(cfg, args):
     writer = EventWriter(cfg.output_dir)
     log_every = 20
     t0 = time.time()
+    import random as _random
+
+    curriculum_rng = _random.Random(cfg.seed + 17)
+    is_daq = cfg.model.meta_architecture.startswith("daq")
     for step in range(start_step, cfg.solver.max_iter):
         raw = next(loader)
+        if is_daq:
+            from dvis_plus_tpu.engine.trainer import daq_curriculum_slice
+
+            raw = daq_curriculum_slice(cfg, step, raw, curriculum_rng)
         batch = Batch(
             images=raw["images"],
             targets=VideoTargets(
@@ -141,34 +169,79 @@ def do_eval(cfg, args):
     from dvis_plus_tpu.core import checkpoint as ckpt
     from dvis_plus_tpu.data.build import build_test_loader
     from dvis_plus_tpu.data.catalog import get_metadata
-    from dvis_plus_tpu.data.datasets.ytvis import register_all_ytvis
-    from dvis_plus_tpu.engine.inference import run_vis_inference
 
-    register_all_ytvis(os.environ.get("DVIS_DATASETS", "datasets"))
+    register_all_datasets()
     model = build_model(cfg)
     params = init_params(cfg, model, jax.random.key(0))
     if cfg.weights:
         params = ckpt.load_weights(cfg.weights, params)
 
     results = {}
-    for dataset_name in cfg.datasets.test:
-        md = get_metadata(dataset_name)
-        from dvis_plus_tpu.evaluation.evaluators import YTVISEvaluator
-
-        evaluator = YTVISEvaluator(
-            dataset_name,
-            os.path.join(cfg.output_dir, "inference", dataset_name),
-            contiguous_to_dataset_id={
-                v: k for k, v in md.thing_dataset_id_to_contiguous_id.items()
-            },
-            gt_json=md.json_file,
+    types = list(cfg.datasets.dataset_type_test) or []
+    for idx, dataset_name in enumerate(cfg.datasets.test):
+        dataset_type = types[idx] if idx < len(types) else "video_instance"
+        loader = build_test_loader(cfg, dataset_name, dataset_type=dataset_type)
+        results[dataset_name] = run_task_eval(
+            cfg, model, params, loader, dataset_name, dataset_type
         )
-        loader = build_test_loader(cfg, dataset_name)
-        run_vis_inference(cfg, model, params, loader, evaluator)
-        results[dataset_name] = evaluator.evaluate()
         logger.info("%s: %s", dataset_name, results[dataset_name])
     print(json.dumps(results, indent=2))
     return results
+
+
+def run_task_eval(cfg, model, params, loader, dataset_name, dataset_type):
+    """Route the per-dataset eval by task (reference test.task dispatch:
+    inference_video_{vis,vps,vss} meta_architecture.py:818/:869/:954 +
+    per-type evaluators train_net_video.py:218-273)."""
+    from dvis_plus_tpu.data.catalog import get_metadata
+
+    md = get_metadata(dataset_name)
+    out_dir = os.path.join(cfg.output_dir, "inference", dataset_name)
+    task = cfg.test.task
+    if task in ("vos", "mots"):
+        from dvis_plus_tpu.engine.daq_inference import run_daq_inference
+        from dvis_plus_tpu.evaluation.evaluators import YTVISEvaluator
+
+        evaluator = YTVISEvaluator(
+            dataset_name, out_dir,
+            contiguous_to_dataset_id={
+                v: k
+                for k, v in getattr(md, "thing_dataset_id_to_contiguous_id", {}).items()
+            },
+            gt_json=getattr(md, "json_file", None),
+        )
+        run_daq_inference(cfg, model, params, loader, evaluator)
+        return evaluator.evaluate() if task != "vos" else {"task": "vos"}
+    if task == "vps" or dataset_type == "video_panoptic":
+        from dvis_plus_tpu.engine.inference import run_vps_inference
+        from dvis_plus_tpu.evaluation.evaluators import VPSEvaluator
+
+        evaluator = VPSEvaluator(dataset_name, out_dir)
+        cats = getattr(md, "categories", None) or []
+        n_thing = sum(1 for c in cats if c.get("isthing")) or 58  # VIPSeg things
+        run_vps_inference(cfg, model, params, loader, evaluator, n_thing)
+        return evaluator.evaluate()
+    if task == "vss" or dataset_type == "video_semantic":
+        from dvis_plus_tpu.engine.inference import run_vss_inference
+        from dvis_plus_tpu.evaluation.evaluators import VSSEvaluator
+
+        evaluator = VSSEvaluator(dataset_name, out_dir)
+        run_vss_inference(cfg, model, params, loader, evaluator)
+        return evaluator.evaluate()
+
+    from dvis_plus_tpu.engine.inference import run_vis_inference
+    from dvis_plus_tpu.evaluation.evaluators import YTVISEvaluator
+
+    evaluator = YTVISEvaluator(
+        dataset_name, out_dir,
+        contiguous_to_dataset_id={
+            v: k
+            for k, v in getattr(md, "thing_dataset_id_to_contiguous_id", {}).items()
+        },
+        gt_json=getattr(md, "json_file", None),
+    )
+    run_vis_inference(cfg, model, params, loader, evaluator)
+    return evaluator.evaluate()
 
 
 def main():
