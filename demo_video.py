@@ -30,6 +30,7 @@ def visualize(frame_rgb, masks, scores, labels, ids, class_names, thr):
     import cv2
 
     vis = frame_rgb.astype(np.float32)
+    texts = []
     for m, s, l, i in zip(masks, scores, labels, ids):
         if s < thr:
             continue
@@ -38,11 +39,12 @@ def visualize(frame_rgb, masks, scores, labels, ids, class_names, thr):
         ys, xs = np.nonzero(m)
         if len(ys):
             name = class_names[l] if l < len(class_names) else str(l)
-            cv2.putText(
-                vis, f"{name} {s:.2f}", (int(xs.min()), max(int(ys.min()) - 4, 10)),
-                cv2.FONT_HERSHEY_SIMPLEX, 0.5, tuple(int(c) for c in color), 1,
-            )
-    return vis.astype(np.uint8)
+            texts.append((f"{name} {s:.2f}", (int(xs.min()), max(int(ys.min()) - 4, 10)),
+                          tuple(int(c) for c in color)))
+    vis = vis.astype(np.uint8)  # cv2.putText requires uint8
+    for txt, org, color in texts:
+        cv2.putText(vis, txt, org, cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+    return vis
 
 
 def main():
@@ -53,6 +55,14 @@ def main():
     parser.add_argument("--windows-size", type=int, default=None)
     parser.add_argument("--confidence-threshold", type=float, default=0.3)
     parser.add_argument("--vocabulary", default=None, help="OV: comma-separated classes")
+    parser.add_argument("--thing-classes", default=None,
+                        help="OV: comma-separated custom thing classes (reference demo_video/open_vocabulary/demo.py --thing_classes)")
+    parser.add_argument("--stuff-classes", default=None, help="OV: custom stuff classes")
+    parser.add_argument("--merge", action="store_true",
+                        help="OV: merge the custom vocabulary with the config dataset's")
+    parser.add_argument("--clip-weights", default=os.environ.get("DVIS_CLIP_WEIGHTS", ""))
+    parser.add_argument("--bpe", default=os.environ.get("DVIS_CLIP_BPE", ""))
+    parser.add_argument("--random-text", action="store_true")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -71,10 +81,50 @@ def main():
     cfg = load_config(args.config_file, args.opts)
     if args.windows_size:
         cfg.test.window_size = args.windows_size
-    model = build_model(cfg)
-    params = init_params(cfg, model, jax.random.key(0))
-    if cfg.weights:
-        params = ckpt.load_weights(cfg.weights, params)
+
+    ov_mode = cfg.model.ov.enabled or args.thing_classes or args.stuff_classes
+    if ov_mode:
+        # custom-vocabulary OV demo (reference demo_video/open_vocabulary/
+        # demo.py --thing_classes/--stuff_classes/--merge): the text
+        # classifier is built from the user-supplied class list
+        from train_net_video_ov import (
+            _ov_arch, build_ov_model, build_classifier, make_text_encoder,
+            vocabulary_for,
+        )
+
+        cfg.model.ov.enabled = True
+        cfg.model.meta_architecture = _ov_arch(cfg)
+        model = build_ov_model(cfg)
+        encode_fn = make_text_encoder(cfg, args)
+        classes = []
+        if args.merge or not (args.thing_classes or args.stuff_classes):
+            try:
+                classes = list(vocabulary_for(cfg.datasets.test[0]))
+            except Exception:
+                classes = []
+        for arg in (args.thing_classes, args.stuff_classes):
+            if arg:
+                classes += [[c.strip()] for c in arg.split(",") if c.strip()]
+        assert classes, "OV demo needs --thing-classes/--stuff-classes or a registered dataset vocabulary"
+        from dvis_plus_tpu.models.ov.text import TextClassifierCache
+
+        void = np.zeros((1, cfg.model.ov.clip_embed_dim), np.float32)
+        tc, nt = TextClassifierCache(encode_fn).get("demo", classes, void)
+        T = cfg.test.window_size
+        div = cfg.model.size_divisibility
+        Hd = ((cfg.input.min_size_test + div - 1) // div) * div
+        Wd = ((cfg.input.max_size_test + div - 1) // div) * div
+        shape = (T, Hd, Wd, 3) if cfg.model.meta_architecture == "minvis_ov" else (1, T, Hd, Wd, 3)
+        params = jax.jit(
+            lambda r, i: model.init(r, i, jnp.asarray(tc), tuple(nt))
+        )(jax.random.key(0), jnp.zeros(shape, jnp.float32))
+        if cfg.weights:
+            params = ckpt.load_weights(cfg.weights, params)
+    else:
+        model = build_model(cfg)
+        params = init_params(cfg, model, jax.random.key(0))
+        if cfg.weights:
+            params = ckpt.load_weights(cfg.weights, params)
 
     frame_files = sorted(
         os.path.join(args.input, f)
@@ -98,7 +148,23 @@ def main():
 
     t0 = time.time()
     fns = {}
-    if cfg.model.meta_architecture in ("minvis", "ctvis"):
+    if ov_mode:
+        from dvis_plus_tpu.engine.ov_inference import (
+            _minvis_ov_video, _online_ov_video, _offline_ov_video,
+        )
+
+        overlap = np.ones((len(nt) - 1,), np.float32)
+        ov_args = (jnp.asarray(tc), tuple(nt), jnp.asarray(overlap),
+                   cfg.model.ov.geometric_ensemble_alpha,
+                   cfg.model.ov.geometric_ensemble_beta)
+        arch = cfg.model.meta_architecture
+        if arch == "minvis_ov":
+            logits, masks = _minvis_ov_video(cfg, model, params, images, fns, cfg.test.window_size, *ov_args)
+        elif arch == "dvis_online_ov":
+            logits, masks = _online_ov_video(cfg, model, params, images, fns, cfg.test.window_size, *ov_args)
+        else:
+            logits, masks = _offline_ov_video(cfg, model, params, images, fns, cfg.test.window_size, *ov_args)
+    elif cfg.model.meta_architecture in ("minvis", "ctvis"):
         logits, masks = _minvis_video(cfg, model, params, images, fns, cfg.test.window_size)
     else:
         logits, masks = _online_video(cfg, model, params, images, fns, cfg.test.window_size)
@@ -119,6 +185,8 @@ def main():
             break
     if args.vocabulary:
         names = [c.strip() for c in args.vocabulary.split(",")]
+    if ov_mode:
+        names = [syns[0] for syns in classes]
     names = names or [str(i) for i in range(cfg.model.num_classes)]
 
     os.makedirs(args.output, exist_ok=True)

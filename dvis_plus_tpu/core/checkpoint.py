@@ -150,3 +150,253 @@ def load_torch_state_dict(path: str) -> Dict[str, "np.ndarray"]:
         else:
             out[k] = np.asarray(v)
     return out
+
+
+def convert_torch_swin(
+    state_dict: Dict[str, "np.ndarray"],
+    depths=(2, 2, 6, 2),
+    prefix: str = "backbone.",
+) -> Dict:
+    """Reference Swin state_dict -> flax SwinTransformer params.
+
+    Key layout follows the reference's D2SwinTransformer checkpoints
+    (``DVIS_Plus/mask2former/modeling/backbone/swin.py:498-770``; zoo .pth
+    keys ``backbone.patch_embed.proj``, ``backbone.layers.N.blocks.M.attn.qkv``
+    etc., per-stage output norms ``backbone.norm{0..3}``)."""
+
+    def g(k):
+        return np.asarray(state_dict[prefix + k])
+
+    p: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": np.transpose(g("patch_embed.proj.weight"), (2, 3, 1, 0)),
+            "bias": g("patch_embed.proj.bias"),
+        },
+        "patch_norm": {
+            "scale": g("patch_embed.norm.weight"),
+            "bias": g("patch_embed.norm.bias"),
+        },
+    }
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            pre = f"layers.{s}.blocks.{b}"
+            p[f"stage{s}_block{b}"] = {
+                "norm1": {"scale": g(f"{pre}.norm1.weight"), "bias": g(f"{pre}.norm1.bias")},
+                "attn": {
+                    "qkv": {
+                        "kernel": g(f"{pre}.attn.qkv.weight").T,
+                        "bias": g(f"{pre}.attn.qkv.bias"),
+                    },
+                    "relative_position_bias_table": g(
+                        f"{pre}.attn.relative_position_bias_table"
+                    ),
+                    "proj": {
+                        "kernel": g(f"{pre}.attn.proj.weight").T,
+                        "bias": g(f"{pre}.attn.proj.bias"),
+                    },
+                },
+                "norm2": {"scale": g(f"{pre}.norm2.weight"), "bias": g(f"{pre}.norm2.bias")},
+                "mlp_fc1": {
+                    "kernel": g(f"{pre}.mlp.fc1.weight").T,
+                    "bias": g(f"{pre}.mlp.fc1.bias"),
+                },
+                "mlp_fc2": {
+                    "kernel": g(f"{pre}.mlp.fc2.weight").T,
+                    "bias": g(f"{pre}.mlp.fc2.bias"),
+                },
+            }
+        if s < len(depths) - 1:
+            p[f"downsample{s}"] = {
+                "norm": {
+                    "scale": g(f"layers.{s}.downsample.norm.weight"),
+                    "bias": g(f"layers.{s}.downsample.norm.bias"),
+                },
+                "reduction": {"kernel": g(f"layers.{s}.downsample.reduction.weight").T},
+            }
+        if prefix + f"norm{s}.weight" in state_dict:
+            p[f"out_norm{s}"] = {
+                "scale": g(f"norm{s}.weight"),
+                "bias": g(f"norm{s}.bias"),
+            }
+    return {"params": p}
+
+
+def _mha_from_torch(qkv_w, qkv_b, proj_w, proj_b, heads: int) -> Dict:
+    """torch fused-qkv attention weights -> our MultiHeadAttention params."""
+    width = qkv_w.shape[1]
+    dh = width // heads
+    qw, kw, vw = np.split(np.asarray(qkv_w), 3, axis=0)
+    qb, kb, vb = np.split(np.asarray(qkv_b), 3, axis=0)
+    return {
+        "q_proj": {"kernel": qw.T.reshape(width, heads, dh), "bias": qb.reshape(heads, dh)},
+        "k_proj": {"kernel": kw.T.reshape(width, heads, dh), "bias": kb.reshape(heads, dh)},
+        "v_proj": {"kernel": vw.T.reshape(width, heads, dh), "bias": vb.reshape(heads, dh)},
+        "out_proj": {
+            "kernel": np.asarray(proj_w).T.reshape(heads, dh, width),
+            "bias": np.asarray(proj_b),
+        },
+    }
+
+
+def _ln(state_dict, key) -> Dict:
+    return {"scale": np.asarray(state_dict[key + ".weight"]),
+            "bias": np.asarray(state_dict[key + ".bias"])}
+
+
+def _bn(state_dict, key) -> Dict:
+    return {
+        "scale": np.asarray(state_dict[key + ".weight"]),
+        "bias": np.asarray(state_dict[key + ".bias"]),
+        "mean": np.asarray(state_dict[key + ".running_mean"]),
+        "var": np.asarray(state_dict[key + ".running_var"]),
+    }
+
+
+def _dense(state_dict, key) -> Dict:
+    out = {"kernel": np.asarray(state_dict[key + ".weight"]).T}
+    if key + ".bias" in state_dict:
+        out["bias"] = np.asarray(state_dict[key + ".bias"])
+    return out
+
+
+def _conv(state_dict, key) -> Dict:
+    w = np.asarray(state_dict[key + ".weight"])
+    out = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    if key + ".bias" in state_dict:
+        out["bias"] = np.asarray(state_dict[key + ".bias"])
+    return out
+
+
+def _dwconv(state_dict, key) -> Dict:
+    # torch depthwise (C, 1, kh, kw) -> flax grouped-conv HWIO (kh, kw, 1, C)
+    w = np.asarray(state_dict[key + ".weight"])
+    out = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    if key + ".bias" in state_dict:
+        out["bias"] = np.asarray(state_dict[key + ".bias"])
+    return out
+
+
+def convert_torch_vit_adapter(
+    state_dict: Dict[str, "np.ndarray"],
+    depth: int = 24,
+    num_heads: int = 16,
+    num_interactions: int = 4,
+    prefix: str = "backbone.",
+) -> Dict:
+    """Reference ViT-Adapter (DINOv2) state_dict -> flax ViTAdapter params.
+
+    Key layout: ``backbone.vit_module.*`` (DinoVisionTransformer,
+    backbones_vitAdapter/backbones.py:36; chunked ``blocks.C.N`` keys are
+    normalized to flat ``blocks.N``), ``backbone.spm.*`` / ``interactions.*``
+    / ``up`` / ``norm1..4`` / ``level_embed`` (adapter.py:416-470).
+
+    Note: the reference's ConvFFN shares ONE depthwise conv across the three
+    pyramid levels; our ConvFFN instantiates one per level (static shapes), so
+    the torch weights are replicated into dw_0/dw_1/dw_2."""
+    sd = {}
+    for k, v in state_dict.items():
+        if not k.startswith(prefix):
+            continue
+        k = k[len(prefix):]
+        # normalize chunked vit blocks: vit_module.blocks.C.N. -> vit_module.blocks.N.
+        if k.startswith("vit_module.blocks."):
+            parts = k.split(".")
+            if parts[3].isdigit() and parts[2].isdigit():
+                k = ".".join(parts[:2] + parts[3:])
+        sd[k] = np.asarray(v)
+
+    p: Dict[str, Any] = {}
+
+    # --- ViT trunk ---
+    vit: Dict[str, Any] = {
+        "cls_token": sd["vit_module.cls_token"],
+        "pos_embed": sd["vit_module.pos_embed"],
+        "patch_embed": _conv(sd, "vit_module.patch_embed.proj"),
+    }
+    for i in range(depth):
+        b = f"vit_module.blocks.{i}"
+        vit[f"block{i}"] = {
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "attn": _mha_from_torch(
+                sd[f"{b}.attn.qkv.weight"], sd[f"{b}.attn.qkv.bias"],
+                sd[f"{b}.attn.proj.weight"], sd[f"{b}.attn.proj.bias"], num_heads,
+            ),
+            "ls1": {"gamma": sd[f"{b}.ls1.gamma"]},
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "mlp_fc1": _dense(sd, f"{b}.mlp.fc1"),
+            "mlp_fc2": _dense(sd, f"{b}.mlp.fc2"),
+            "ls2": {"gamma": sd[f"{b}.ls2.gamma"]},
+        }
+    p["vit"] = vit
+
+    # --- Spatial prior module ---
+    p["spm"] = {
+        "stem1_conv": _conv(sd, "spm.stem.0"),
+        "stem1_bn": _bn(sd, "spm.stem.1"),
+        "stem2_conv": _conv(sd, "spm.stem.3"),
+        "stem2_bn": _bn(sd, "spm.stem.4"),
+        "stem3_conv": _conv(sd, "spm.stem.6"),
+        "stem3_bn": _bn(sd, "spm.stem.7"),
+        "conv2_conv": _conv(sd, "spm.conv2.0"),
+        "conv2_bn": _bn(sd, "spm.conv2.1"),
+        "conv3_conv": _conv(sd, "spm.conv3.0"),
+        "conv3_bn": _bn(sd, "spm.conv3.1"),
+        "conv4_conv": _conv(sd, "spm.conv4.0"),
+        "conv4_bn": _bn(sd, "spm.conv4.1"),
+        "fc1": _conv(sd, "spm.fc1"),
+        "fc2": _conv(sd, "spm.fc2"),
+        "fc3": _conv(sd, "spm.fc3"),
+        "fc4": _conv(sd, "spm.fc4"),
+    }
+
+    def deform_attn(pre):
+        return {
+            "value_proj": _dense(sd, f"{pre}.value_proj"),
+            "sampling_offsets": _dense(sd, f"{pre}.sampling_offsets"),
+            "attention_weights": _dense(sd, f"{pre}.attention_weights"),
+            "output_proj": _dense(sd, f"{pre}.output_proj"),
+        }
+
+    def extractor(pre):
+        out = {
+            "query_norm": _ln(sd, f"{pre}.query_norm"),
+            "feat_norm": _ln(sd, f"{pre}.feat_norm"),
+            "attn": deform_attn(f"{pre}.attn"),
+        }
+        if f"{pre}.ffn.fc1.weight" in sd:
+            dw = _dwconv(sd, f"{pre}.ffn.dwconv.dwconv")
+            out["ffn_norm"] = _ln(sd, f"{pre}.ffn_norm")
+            out["ffn"] = {
+                "fc1": _dense(sd, f"{pre}.ffn.fc1"),
+                "fc2": _dense(sd, f"{pre}.ffn.fc2"),
+                "dw_0": dw, "dw_1": dw, "dw_2": dw,
+            }
+        return out
+
+    extra_j = 0
+    for i in range(num_interactions):
+        pre = f"interactions.{i}"
+        # the shipped configs use InteractionBlockWithCls_Efficient
+        # (adapter.py:245-262) which has NO injector; keys present only for
+        # the plain InteractionBlockWithCls variant
+        if f"{pre}.injector.gamma" in sd:
+            p[f"injector_{i}"] = {
+                "query_norm": _ln(sd, f"{pre}.injector.query_norm"),
+                "feat_norm": _ln(sd, f"{pre}.injector.feat_norm"),
+                "attn": deform_attn(f"{pre}.injector.attn"),
+                "gamma": sd[f"{pre}.injector.gamma"],
+            }
+        p[f"extractor_{i}"] = extractor(f"{pre}.extractor")
+        j = 0
+        while f"{pre}.extra_extractors.{j}.query_norm.weight" in sd:
+            p[f"extra_extractor_{extra_j}"] = extractor(f"{pre}.extra_extractors.{j}")
+            j += 1
+            extra_j += 1
+
+    # --- heads ---
+    up_w = sd["up.weight"]  # torch ConvTranspose2d (C_in, C_out, 2, 2)
+    p["up"] = {"kernel": np.transpose(up_w, (2, 3, 0, 1)), "bias": sd["up.bias"]}
+    for n in (1, 2, 3, 4):
+        p[f"norm{n}"] = _bn(sd, f"norm{n}")
+    p["level_embed"] = sd["level_embed"]
+    return {"params": p}

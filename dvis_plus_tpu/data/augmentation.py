@@ -25,6 +25,11 @@ class ClipTransform:
     def apply_mask(self, mask: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
+    def out_size(self, h: int, w: int):
+        """Output (h, w) given input size — size-dependent augs sampled later
+        in the chain need it (LSJ resize-then-crop)."""
+        return h, w
+
 
 class ResizeTransform(ClipTransform):
     def __init__(self, new_h: int, new_w: int):
@@ -35,6 +40,9 @@ class ResizeTransform(ClipTransform):
 
     def apply_mask(self, mask):
         return cv2.resize(mask, (self.new_w, self.new_h), interpolation=cv2.INTER_NEAREST)
+
+    def out_size(self, h, w):
+        return self.new_h, self.new_w
 
 
 class FlipTransform(ClipTransform):
@@ -74,6 +82,9 @@ class CropTransform(ClipTransform):
         return img[self.y0 : self.y0 + self.h, self.x0 : self.x0 + self.w]
 
     apply_mask = apply_image
+
+    def out_size(self, h, w):
+        return self.h, self.w
 
 
 class Identity(ClipTransform):
@@ -179,3 +190,91 @@ def apply_clip_transforms(
                 ms.append(m)
             out_masks.append(ms)
     return out_frames, out_masks
+
+
+class PadCropTransform(ClipTransform):
+    """Crop to a fixed window then pad bottom/right to the window size
+    (reference FixedSizeCropClip: images pad 128, masks pad 0)."""
+
+    def __init__(self, y0: int, x0: int, out_h: int, out_w: int, pad_value: int = 128):
+        self.y0, self.x0, self.out_h, self.out_w = y0, x0, out_h, out_w
+        self.pad_value = pad_value
+
+    def _crop_pad(self, arr, pad_value):
+        crop = arr[self.y0 : self.y0 + self.out_h, self.x0 : self.x0 + self.out_w]
+        ph = self.out_h - crop.shape[0]
+        pw = self.out_w - crop.shape[1]
+        if ph or pw:
+            pads = ((0, ph), (0, pw)) + ((0, 0),) * (arr.ndim - 2)
+            crop = np.pad(crop, pads, constant_values=pad_value)
+        return crop
+
+    def apply_image(self, img):
+        return self._crop_pad(img, self.pad_value)
+
+    def apply_mask(self, mask):
+        return self._crop_pad(mask, 0)
+
+    def out_size(self, h, w):
+        return self.out_h, self.out_w
+
+
+class ResizeScaleClip(ClipAugmentation):
+    """LSJ resize part (reference ResizeScaleClip, augmentation.py:128-190):
+    one scale in [min, max] per clip; the image is resized to fit inside the
+    scaled target box, aspect preserved."""
+
+    def __init__(self, min_scale: float, max_scale: float,
+                 target_height: int, target_width: int):
+        self.min_scale = min_scale
+        self.max_scale = max_scale
+        self.target_h = target_height
+        self.target_w = target_width
+
+    def sample(self, h, w, rng):
+        scale = rng.uniform(self.min_scale, self.max_scale)
+        out_scale = min(self.target_h * scale / h, self.target_w * scale / w)
+        return ResizeTransform(
+            max(int(round(h * out_scale)), 1), max(int(round(w * out_scale)), 1)
+        )
+
+
+class FixedSizeCropClip(ClipAugmentation):
+    """LSJ crop part (reference FixedSizeCropClip): one random fixed-size
+    window per clip, padded when the image is smaller."""
+
+    def __init__(self, crop_size, pad_value: int = 128):
+        self.crop_h, self.crop_w = crop_size
+        self.pad_value = pad_value
+
+    def sample(self, h, w, rng):
+        y0 = rng.randint(0, max(h - self.crop_h, 0)) if h > self.crop_h else 0
+        x0 = rng.randint(0, max(w - self.crop_w, 0)) if w > self.crop_w else 0
+        return PadCropTransform(y0, x0, self.crop_h, self.crop_w, self.pad_value)
+
+
+def sample_clip_transforms(augs, h: int, w: int, rng: random.Random):
+    """Sample the chain sequentially, threading the evolving image size
+    (LSJ's crop must see the resized size, not the original)."""
+    ts = []
+    for aug in augs:
+        t = aug.sample(h, w, rng)
+        ts.append(t)
+        h, w = t.out_size(h, w)
+    return ts
+
+
+def build_pseudo_augmentation(cfg_input) -> List[ClipAugmentation]:
+    """Pseudo-video recipe (reference build_pseudo_augmentation
+    augmentation.py:507-560): flip + rotation handled by the pseudo mapper;
+    LSJ resize-scale + fixed-size crop when enabled, else shortest-edge."""
+    augs: List[ClipAugmentation] = []
+    if cfg_input.random_flip != "none":
+        augs.append(RandomFlip())
+    if cfg_input.lsj_aug:
+        size = cfg_input.max_size_train
+        augs.append(ResizeScaleClip(0.1, 2.0, size, size))
+        augs.append(FixedSizeCropClip((size, size)))
+    else:
+        augs.append(ResizeShortestEdge(cfg_input.min_size_train, cfg_input.max_size_train))
+    return augs

@@ -160,7 +160,9 @@ class YTVISDatasetMapper:
                     )
                 masks_per_frame.append(ms)
 
-        transforms = [aug.sample(H0, W0, rng) for aug in self.augs]
+        from dvis_plus_tpu.data.augmentation import sample_clip_transforms
+
+        transforms = sample_clip_transforms(self.augs, H0, W0, rng)
         frames, masks_per_frame = apply_clip_transforms(
             transforms, frames, masks_per_frame
         )

@@ -31,6 +31,12 @@ class CocoPseudoVideoMapper:
 
     def __init__(self, cfg: Config, is_train: bool = True, category_map: Optional[Dict[int, int]] = None):
         self.base = YTVISDatasetMapper(cfg, is_train=is_train)
+        if is_train:
+            from dvis_plus_tpu.data.augmentation import build_pseudo_augmentation
+
+            # pseudo-clip recipe: LSJ resize-scale + fixed-size crop when
+            # input.lsj_aug (reference build_pseudo_augmentation :507-560)
+            self.base.augs = build_pseudo_augmentation(cfg.input)
         self.cfg = cfg
         self.num_frames = cfg.input.sampling_frame_num
         self.category_map = category_map  # official coco id -> contiguous video id
@@ -45,8 +51,11 @@ class CocoPseudoVideoMapper:
             img = np.zeros((record.get("height", 480), record.get("width", 640), 3), np.uint8)
         H0, W0 = img.shape[:2]
 
+        raw_anns = record.get("annotations", [])
+        if raw_anns and isinstance(raw_anns[0], list):
+            raw_anns = raw_anns[0]  # 1-frame video-style record (coco catalog)
         anns = []
-        for a in record.get("annotations", []):
+        for a in raw_anns:
             cat = a["category_id"]
             if self.category_map is not None:
                 if cat not in self.category_map:

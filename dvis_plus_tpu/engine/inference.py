@@ -28,6 +28,18 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
     arch = cfg.model.meta_architecture
     W_sz = cfg.test.window_size
     topk = cfg.test.max_num
+    if W_sz <= 0:
+        # auto window: static HBM budgeting replaces the reference's
+        # retry_if_cuda_oom (memory.py:27-80; SURVEY §5.3)
+        from dvis_plus_tpu.utils.events import pick_window_size
+
+        div = cfg.model.size_divisibility
+        H_est = ((cfg.input.min_size_test + div - 1) // div) * div
+        W_est = ((cfg.input.max_size_test + div - 1) // div) * div
+        W_sz = pick_window_size(
+            5, H_est, W_est, cfg.model.transformer_decoder.num_queries
+        )
+        logger.info("auto window size: %d", W_sz)
 
     if arch.startswith("daq"):
         from dvis_plus_tpu.engine.daq_inference import run_daq_inference

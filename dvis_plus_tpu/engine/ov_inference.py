@@ -1,0 +1,285 @@
+"""OV-DVIS++ inference driver: windowed forward + geometric-ensemble logits.
+
+Re-designs the reference OV eval path (``ov_dvis/meta_architecture_ov.py``:
+per-frame mask-pooled CLIP out-of-vocab logits + geometric ensemble + void
+renormalization :566-645, then MinVIS post-processing / tracker outputs):
+
+- windows stream through the jitted forward with the per-dataset text
+  classifier closed over as arrays;
+- per window the predicted masks pool the dense CLIP features
+  (``pool_clip``), the ensemble runs per frame, and fused log-probs
+  accumulate;
+- final logits = log mean frame probability; masks -> shared
+  ``inference_video`` top-K path.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvis_plus_tpu.core.config import Config
+from dvis_plus_tpu.models.meta.ov import ov_ensemble_inference
+from dvis_plus_tpu.models.tracker.referring_tracker import init_tracker_state
+
+logger = logging.getLogger(__name__)
+
+
+def run_ov_inference(
+    cfg: Config,
+    model,
+    params,
+    loader: Iterator[dict],
+    evaluator,
+    text_classifier: np.ndarray,
+    num_templates: Sequence[int],
+    category_overlapping: np.ndarray,  # (K,) 1 = seen in training vocab
+):
+    from dvis_plus_tpu.models.meta.minvis import inference_video
+
+    arch = cfg.model.meta_architecture
+    W_sz = cfg.test.window_size
+    topk = cfg.test.max_num
+    tc = jnp.asarray(text_classifier)
+    nt = tuple(num_templates)
+    overlap = jnp.asarray(category_overlapping)
+    alpha = cfg.model.ov.geometric_ensemble_alpha
+    beta = cfg.model.ov.geometric_ensemble_beta
+    fns: Dict = {}
+
+    for sample in loader:
+        images = sample["images"]
+        T, H, W = images.shape[:3]
+        if arch in ("minvis", "minvis_ov", "ctvis"):
+            logits, masks = _minvis_ov_video(
+                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
+            )
+        elif arch in ("dvis_online", "dvis_online_ov"):
+            logits, masks = _online_ov_video(
+                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
+            )
+        else:
+            logits, masks = _offline_ov_video(
+                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
+            )
+        masks = masks[:, :T]
+        h, w = [int(v) for v in sample["image_size"]]
+        res = inference_video(
+            jnp.asarray(logits),
+            jnp.asarray(masks),
+            img_size=(h, w),
+            output_size=(int(sample["height"]), int(sample["width"])),
+            padded_size=(H, W),
+            topk=topk,
+        )
+        evaluator.process(
+            sample.get("video_id", 0),
+            {
+                "pred_scores": np.asarray(res.scores).tolist(),
+                "pred_labels": np.asarray(res.labels).tolist(),
+                "pred_masks": np.asarray(res.masks),
+            },
+        )
+
+
+def _pad_to(images: np.ndarray, pad_T: int) -> np.ndarray:
+    T = images.shape[0]
+    if T == pad_T:
+        return images
+    return np.concatenate([images, np.repeat(images[-1:], pad_T - T, axis=0)], 0)
+
+
+def _minvis_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta):
+    """MinVIS_OV: per-frame ensemble BEFORE embed matching (reference
+    :566-645 then post_processing)."""
+    if "win" not in fns:
+
+        @jax.jit
+        def win(params, imgs):
+            out = model.apply(params, imgs, tc, nt)
+            pooled = model.apply(
+                params, out["clip_vis_dense"], out["pred_masks"],
+                method=type(model).pool_clip,
+            )
+            scale = model.apply(params, method=type(model).clip_logit_scale)
+            fused = ov_ensemble_inference(
+                out["pred_logits"], pooled, tc, nt, scale, overlap, alpha, beta
+            )
+            return fused, out["pred_masks"], out["pred_embds"]
+
+        fns["win"] = win
+    win = fns["win"]
+
+    T = images.shape[0]
+    n_windows = (T + W_sz - 1) // W_sz
+    images = _pad_to(images, n_windows * W_sz)
+    lg, mk, em = [], [], []
+    for i in range(n_windows):
+        a, b, c = win(params, jnp.asarray(images[i * W_sz : (i + 1) * W_sz]))
+        lg.append(a)
+        mk.append(b)
+        em.append(c)
+    from dvis_plus_tpu.models.meta.minvis import minvis_post_processing
+
+    logits = jnp.concatenate(lg, 0)[:T]
+    masks = jnp.concatenate(mk, 0)[:T]
+    embds = jnp.concatenate(em, 0)[:T]
+    mean_logits, aligned = jax.jit(minvis_post_processing)(logits, masks, embds)
+    return mean_logits, aligned
+
+
+def _online_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta):
+    """DVIS_online_OV: tracker logits ensemble per frame with CLIP pooling
+    under the tracker's masks; carry streams across windows."""
+    if "win" not in fns:
+
+        @jax.jit
+        def win(params, imgs, state):
+            seg_out, track_out, new_state = model.apply(
+                params, imgs[None], tc, nt, state=state
+            )
+            t_logits = track_out["pred_logits"][0]  # (Tw, Q, K+1)
+            t_masks = track_out["pred_masks"][0]  # (Q, Tw, H4, W4)
+            masks_tq = jnp.swapaxes(t_masks, 0, 1)  # (Tw, Q, H4, W4)
+            pooled = model.apply(
+                params, seg_out["clip_vis_dense"], masks_tq,
+                method=type(model).pool_clip,
+            )
+            scale = model.apply(params, method=type(model).clip_logit_scale)
+            fused = ov_ensemble_inference(
+                t_logits, pooled, tc, nt, scale, overlap, alpha, beta
+            )
+            return fused, t_masks, new_state
+
+        fns["win"] = win
+    win = fns["win"]
+
+    td = cfg.model.transformer_decoder
+    state = init_tracker_state(1, td.num_queries, td.hidden_dim)
+    T = images.shape[0]
+    n_windows = (T + W_sz - 1) // W_sz
+    images = _pad_to(images, n_windows * W_sz)
+    lg, mk = [], []
+    for i in range(n_windows):
+        a, b, state = win(params, jnp.asarray(images[i * W_sz : (i + 1) * W_sz]), state)
+        lg.append(a)
+        mk.append(b)
+    logits = jnp.concatenate(lg, 0)[:T]  # (T, Q, K+1) fused log-probs
+    masks = jnp.concatenate(mk, 1)  # (Q, T', H4, W4)
+    # video-level logits = log mean probability over frames
+    probs = jnp.exp(logits.astype(jnp.float32)).mean(axis=0)
+    return jnp.log(jnp.clip(probs, 1e-20, 1.0)), masks
+
+
+def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta):
+    """DVIS_offline_OV: online streaming + OV refiner. The refiner's video
+    -level in-vocab head uses window-accumulated mask pooling (embed_pass +
+    ov_classify); out-of-vocab CLIP pooling runs per frame under the refined
+    masks; ensemble per frame, mean over frames."""
+    if "win" not in fns:
+
+        @jax.jit
+        def win(params, imgs, state):
+            seg_out, track_out, new_state = model.apply(
+                params, imgs[None], tc, nt, state=state,
+                method=type(model).online_forward,
+            )
+            C = seg_out["pred_embds_without_norm"].shape[-1]
+            Tw = imgs.shape[0]
+            frame = seg_out["pred_embds_without_norm"].reshape(1, Tw, -1, C)
+            mf = seg_out["mask_features"]
+            return (
+                track_out["pred_logits"][0],
+                track_out["pred_embds"],
+                frame,
+                mf.reshape((1, Tw) + mf.shape[1:]),
+                seg_out["clip_vis_dense"],
+                new_state,
+            )
+
+        @jax.jit
+        def refine_embeds(params, inst, frame):
+            out = model.apply(params, inst, frame, method=type(model).refine_embeds)
+            return out["fused"], out["mask_embed"]
+
+        @jax.jit
+        def mask_and_pool(params, membd_w, mf_w, clip_w):
+            masks_w = model.apply(
+                params, membd_w, mf_w, method=type(model).refine_mask_window
+            )  # (1, Q, Tw, H4, W4)
+            m = (masks_w[0] > 0.0).astype(jnp.float32)
+            # in-vocab pooling accumulators over stride-4 mask features
+            mf_sum = jnp.einsum("qthw,thwc->qc", m, mf_w[0].astype(jnp.float32))
+            mf_cnt = m.sum(axis=(1, 2, 3))
+            # out-of-vocab: per-frame CLIP pooling + logits
+            masks_tq = jnp.swapaxes(masks_w[0], 0, 1)
+            pooled = model.apply(
+                params, clip_w, masks_tq, method=type(model).pool_clip
+            )
+            scale = model.apply(params, method=type(model).clip_logit_scale)
+            from dvis_plus_tpu.models.ov.heads import get_classification_logits
+
+            out_logits = get_classification_logits(pooled, tc, scale, nt)
+            return masks_w[0], mf_sum, mf_cnt, out_logits
+
+        @jax.jit
+        def classify(params, fused, mf_sum, mf_cnt):
+            pooled = (mf_sum / jnp.maximum(mf_cnt[:, None], 1e-8))[None]
+            return model.apply(
+                params, fused, pooled.astype(fused.dtype), tc, nt,
+                method=type(model).refine_ov_classify,
+            )[0]
+
+        fns["win"] = (win, refine_embeds, mask_and_pool, classify)
+    win, refine_embeds, mask_and_pool, classify = fns["win"]
+
+    td = cfg.model.transformer_decoder
+    state = init_tracker_state(1, td.num_queries, td.hidden_dim)
+    T = images.shape[0]
+    n_windows = (T + W_sz - 1) // W_sz
+    images = _pad_to(images, n_windows * W_sz)
+    online_lg, inst_l, frame_l, mf_host, clip_host = [], [], [], [], []
+    for i in range(n_windows):
+        lg, inst, frame, mf, clip_d, state = win(
+            params, jnp.asarray(images[i * W_sz : (i + 1) * W_sz]), state
+        )
+        online_lg.append(lg)
+        inst_l.append(inst)
+        frame_l.append(frame)
+        mf_host.append(np.asarray(mf))
+        clip_host.append(np.asarray(clip_d))
+    inst = jnp.concatenate(inst_l, axis=1)
+    frame = jnp.concatenate(frame_l, axis=1)
+    fused, membd = refine_embeds(params, inst, frame)
+
+    masks_l, out_lg = [], []
+    mf_sum = 0.0
+    mf_cnt = 0.0
+    for i in range(n_windows):
+        membd_w = jax.lax.dynamic_slice_in_dim(membd, i * W_sz, W_sz, axis=1)
+        masks_w, s, c, ol = mask_and_pool(
+            params, membd_w, jnp.asarray(mf_host[i]), jnp.asarray(clip_host[i])
+        )
+        masks_l.append(np.asarray(masks_w, np.float16))
+        mf_sum = mf_sum + s
+        mf_cnt = mf_cnt + c
+        out_lg.append(ol)
+    masks = np.concatenate(masks_l, axis=1)  # (Q, T', H4, W4)
+    in_vocab = classify(params, fused, mf_sum, mf_cnt)  # (1, Q, K+1) -> squeezed below
+
+    out_logits = jnp.concatenate(out_lg, axis=0)  # (T', Q, K+1)
+    scale_dummy = jnp.asarray(0.0)
+    fused_frames = ov_ensemble_inference(
+        jnp.broadcast_to(in_vocab, out_logits.shape),
+        None, tc, nt, scale_dummy, overlap, alpha, beta,
+        out_vocab_logits=out_logits,
+    )
+    probs = jnp.exp(fused_frames.astype(jnp.float32)).mean(axis=0)
+    # aux fusion with online tracker probabilities (reference aux_pred_cls max)
+    online = jnp.concatenate(online_lg, axis=0)
+    aux = jax.nn.softmax(online.astype(jnp.float32), axis=-1).mean(axis=0)[:, :-1]
+    probs = probs.at[:, :-1].set(jnp.maximum(probs[:, :-1], aux))
+    return jnp.log(jnp.clip(probs, 1e-20, 1.0)), masks

@@ -66,6 +66,13 @@ class YTVISEvaluator:
             )
 
     def evaluate(self) -> Dict[str, float]:
+        # cross-host gather to process 0 (reference comm.gather,
+        # ytvis_eval.py:115-143); identity on a single process
+        from dvis_plus_tpu.evaluation.dist import gather_predictions, is_main_process
+
+        self._predictions = gather_predictions(self._predictions)
+        if not is_main_process():
+            return {"predictions": len(self._predictions)}
         path = os.path.join(self.output_dir, "results.json")
         with open(path, "w") as f:
             json.dump(self._predictions, f)
@@ -169,3 +176,31 @@ class VSSEvaluator:
 
     def evaluate(self) -> Dict[str, float]:
         return {"videos": self._count}
+
+
+class UniYTVISEvaluator(YTVISEvaluator):
+    """MOTS evaluator (reference ``UniYTVISEvaluator``,
+    DVIS_DAQ/dvis_Plus/data_video/uninext_ytvis_eval.py:23): for
+    ytvis-prefixed datasets MOTS predictions are YTVIS-format RLE rows
+    (instances_to_coco_json_video :213); BDD-format dict outputs pass through
+    per key (:259-271). ``evaluate`` writes results.json (+ per-key BDD jsons)
+    on process 0."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._bdd: Dict[str, List] = {}
+
+    def process_bdd(self, outputs: Dict[str, List]) -> None:
+        for k, v in outputs.items():
+            self._bdd.setdefault(k, []).extend(v)
+
+    def evaluate(self) -> Dict[str, float]:
+        res = super().evaluate()
+        from dvis_plus_tpu.evaluation.dist import is_main_process
+
+        if self._bdd and is_main_process():
+            for k, v in self._bdd.items():
+                with open(os.path.join(self.output_dir, f"{k}.json"), "w") as f:
+                    json.dump(v, f)
+            res["bdd_keys"] = len(self._bdd)
+        return res

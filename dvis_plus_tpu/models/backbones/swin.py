@@ -111,7 +111,7 @@ class SwinBlock(nn.Module):
         shift = self.shift_size if ws < min(H, W) else 0
         shortcut = x
 
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         pad_b = (ws - H % ws) % ws
         pad_r = (ws - W % ws) % ws
         x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
@@ -134,7 +134,7 @@ class SwinBlock(nn.Module):
         x = x[:, :H, :W]
 
         x = shortcut + self._drop_path(x, training)
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, name="mlp_fc2")(y)
@@ -161,7 +161,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 
@@ -187,7 +187,7 @@ class SwinTransformer(nn.Module):
         x = nn.Conv(
             self.embed_dim, (ps, ps), strides=(ps, ps), name="patch_embed"
         )(x)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
 
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
         outs: Dict[str, jnp.ndarray] = {}
@@ -208,7 +208,7 @@ class SwinTransformer(nn.Module):
                 blk_idx += 1
             name = f"res{s + 2}"
             if name in self.out_features:
-                outs[name] = nn.LayerNorm(name=f"out_norm{s}")(x)
+                outs[name] = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{s}")(x)
             if s < len(self.depths) - 1:
                 x = PatchMerging(dim, name=f"downsample{s}")(x)
                 dim *= 2

@@ -196,11 +196,11 @@ class ConvFFN(nn.Module):
         # depthwise conv applied per level
         parts = []
         start = 0
-        for (h, w) in self.shapes:
+        for li, (h, w) in enumerate(self.shapes):
             seg = y[:, start : start + h * w].reshape(B, h, w, self.hidden)
             seg = nn.Conv(
                 self.hidden, (3, 3), padding=[(1, 1), (1, 1)],
-                feature_group_count=self.hidden, name=f"dw_{h}x{w}",
+                feature_group_count=self.hidden, name=f"dw_{li}",
             )(seg)
             parts.append(seg.reshape(B, h * w, self.hidden))
             start += h * w
@@ -269,13 +269,15 @@ class ViTAdapter(nn.Module):
     with_cffn: bool = False
     add_vit_feature: bool = True
     use_injector: bool = False  # shipped config uses the Efficient (no-inject) blocks
+    pretrain_grid: int = 37  # DINOv2 518/14 pos-embed grid
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         B, H0, W0, _ = x.shape
         vit = DinoViT(
-            self.embed_dim, self.depth, self.num_heads, self.patch_size, name="vit"
+            self.embed_dim, self.depth, self.num_heads, self.patch_size,
+            pretrain_grid=self.pretrain_grid, name="vit"
         )
         tokens, cls, Hp, Wp = vit.prepare_tokens(x)
         # frozen trunk (reference freeze_backbone; optimizer-masked too)

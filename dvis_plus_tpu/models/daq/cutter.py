@@ -136,7 +136,7 @@ class VideoInstanceCutter(nn.Module):
             FFNLayer(C, self.feedforward_dim, name=f"slot_ffn_{j}")
             for j in range(self.num_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         self.class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
         self.mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
         self.pos_embed = MLP(C, C, num_layers=3, name="pos_embed")

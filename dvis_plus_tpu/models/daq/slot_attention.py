@@ -44,10 +44,10 @@ class SlotAttention(nn.Module):
         slots: jnp.ndarray,  # (B, M, C) slot queries
     ) -> jnp.ndarray:
         k = nn.Dense(self.slot_size, use_bias=False, name="project_k")(
-            nn.LayerNorm(name="norm_inputs")(inputs_k)
+            nn.LayerNorm(epsilon=1e-5, name="norm_inputs")(inputs_k)
         )
         q = nn.Dense(self.slot_size, use_bias=False, name="project_q_dense")(
-            nn.LayerNorm(name="project_q_norm")(slots)
+            nn.LayerNorm(epsilon=1e-5, name="project_q_norm")(slots)
         )
         attn_logits = (self.slot_size**-0.5) * jnp.einsum(
             "bnc,bmc->bnm", k, q, preferred_element_type=jnp.float32
@@ -84,4 +84,4 @@ class SlotCrossAttentionLayer(nn.Module):
         updates = SlotAttention(self.dim, name="slot_attn")(
             inputs=tgt2, inputs_k=tgt + tgt2, slots=slot_query
         )
-        return nn.LayerNorm(name="norm")(tgt + updates)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt + updates)

@@ -125,6 +125,7 @@ def inference_video(
     resize to original resolution, threshold at 0)."""
     Q, K1 = mask_cls.shape
     K = K1 - 1
+    topk = min(topk, Q * K)  # small vocabularies / few queries
     scores = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)[:, :-1]  # (Q, K)
     flat = scores.reshape(-1)
     top_scores, top_idx = jax.lax.top_k(flat, topk)

@@ -37,7 +37,7 @@ class ConvNeXtBlock(nn.Module):
             self.dim, (7, 7), padding=[(3, 3), (3, 3)], feature_group_count=self.dim,
             name="dwconv",
         )(x)
-        y = nn.LayerNorm(name="norm")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm")(y)
         y = nn.Dense(4 * self.dim, name="pwconv1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="pwconv2")(y)
@@ -55,10 +55,10 @@ class ConvNeXt(nn.Module):
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         outs: Dict[str, jnp.ndarray] = {}
         y = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), name="stem_conv")(x)
-        y = nn.LayerNorm(name="stem_norm")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(y)
         for s, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if s > 0:
-                y = nn.LayerNorm(name=f"downsample_norm{s}")(y)
+                y = nn.LayerNorm(epsilon=1e-6, name=f"downsample_norm{s}")(y)
                 y = nn.Conv(dim, (2, 2), strides=(2, 2), name=f"downsample_conv{s}")(y)
             for b in range(depth):
                 y = ConvNeXtBlock(dim, name=f"stage{s}_block{b}")(y)
@@ -76,7 +76,7 @@ class CLIPVisualHead(nn.Module):
     @nn.compact
     def __call__(self, pooled: jnp.ndarray) -> jnp.ndarray:
         """(..., C_trunk) mask-pooled features -> (..., embed_dim)."""
-        y = nn.LayerNorm(name="head_norm")(pooled)
+        y = nn.LayerNorm(epsilon=1e-6, name="head_norm")(pooled)
         # open_clip convnext_*_d head: mlp proj (fc1 -> gelu -> fc2)
         y = nn.Dense(self.hidden_dim, name="proj_fc1")(y)
         y = nn.gelu(y, approximate=False)

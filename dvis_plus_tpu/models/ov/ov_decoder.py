@@ -44,7 +44,7 @@ class OVClassHead(nn.Module):
         num_templates: Sequence[int],
     ) -> jnp.ndarray:
         pooled = mask_pooling(mask_features, pred_masks)  # (B', Q, C)
-        pooled = nn.LayerNorm(name="maskpool_norm")(pooled)
+        pooled = nn.LayerNorm(epsilon=1e-5, name="maskpool_norm")(pooled)
         pooled = nn.Dense(self.hidden_dim, name="maskpool_proj")(pooled)
         x = self.param("logit_scale", nn.initializers.constant(jnp.log(1 / 0.07)), ())
         class_embed = MLP(
@@ -98,7 +98,7 @@ class OVMaskedTransformerDecoder(nn.Module):
             )
             sizes.append((Hl, Wl))
 
-        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
         ov_head = OVClassHead(C, self.clip_embed_dim, name="ov_head")
 

@@ -57,7 +57,7 @@ class TemporalConvBlock(nn.Module):
         y = nn.relu(y)
         y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
         y = nn.Conv(self.dim, (3,), padding="VALID", name="conv2")(y)
-        return nn.LayerNorm(name="norm")(x + y)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + y)
 
 
 class TemporalRefiner(nn.Module):
@@ -92,11 +92,11 @@ class TemporalRefiner(nn.Module):
             FFNLayer(C, self.feedforward_dim, name=f"ffn_{i}")
             for i in range(self.num_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         self.mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
         self.activation_proj = nn.Dense(1, name="activation_proj")
         if self.ov:
-            self.maskpool_norm = nn.LayerNorm(name="maskpool_norm")
+            self.maskpool_norm = nn.LayerNorm(epsilon=1e-5, name="maskpool_norm")
             self.maskpool_proj = nn.Dense(C, name="maskpool_proj")
             self.class_embed_ov = MLP(
                 C, self.clip_embed_dim, num_layers=3, name="class_embed_ov"

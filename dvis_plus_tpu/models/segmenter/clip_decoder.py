@@ -71,7 +71,7 @@ class ClipMaskedTransformerDecoder(nn.Module):
             sizes.append((Hl, Wl))
 
         mf = mask_features.reshape(B, T, *mask_features.shape[1:])  # (B,T,H4,W4,Cm)
-        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
         mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
 

@@ -53,7 +53,7 @@ class DETRTransformer(nn.Module):
 
         qpos = jnp.broadcast_to(query_embed[None], (B, Q, C)).astype(src.dtype)
         tgt = jnp.zeros((B, Q, C), src.dtype)
-        decoder_norm = nn.LayerNorm(name="dec_norm")  # shared across layers
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="dec_norm")  # shared across layers
         inter = []
         for i in range(self.num_decoder_layers):
             tgt = SelfAttentionLayer(C, self.num_heads, name=f"dec_self_{i}")(tgt, qpos)

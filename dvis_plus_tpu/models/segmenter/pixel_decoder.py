@@ -98,11 +98,11 @@ class MSDeformAttnLayer(nn.Module):
         out = ms_deform_attn(value, spatial_shapes, locations, attn).astype(src.dtype)
         out = nn.Dense(self.d_model, name="output_proj")(out)
 
-        src = nn.LayerNorm(name="norm1")(src + out)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + out)
         ffn = nn.Dense(self.d_ffn, name="linear1")(src)
         ffn = nn.relu(ffn)
         ffn = nn.Dense(self.d_model, name="linear2")(ffn)
-        src = nn.LayerNorm(name="norm2")(src + ffn)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm2")(src + ffn)
         return src
 
 

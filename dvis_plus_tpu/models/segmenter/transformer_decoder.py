@@ -96,7 +96,7 @@ class SelfAttentionLayer(nn.Module):
     ) -> jnp.ndarray:
         q = tgt + query_pos
         out = MultiHeadAttention(self.dim, self.num_heads, name="attn")(q, q, tgt, mask)
-        return nn.LayerNorm(name="norm")(tgt + out)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt + out)
 
 
 class CrossAttentionLayer(nn.Module):
@@ -110,7 +110,7 @@ class CrossAttentionLayer(nn.Module):
         out = MultiHeadAttention(self.dim, self.num_heads, name="attn")(
             tgt + query_pos, memory + pos, memory, mask
         )
-        return nn.LayerNorm(name="norm")(tgt + out)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt + out)
 
 
 class FFNLayer(nn.Module):
@@ -123,7 +123,7 @@ class FFNLayer(nn.Module):
     def __call__(self, tgt):
         out = nn.Dense(self.hidden_dim, name="linear1")(tgt)
         out = nn.Dense(self.dim, name="linear2")(nn.relu(out))
-        return nn.LayerNorm(name="norm")(tgt + out)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt + out)
 
 
 class MaskedTransformerDecoder(nn.Module):
@@ -181,7 +181,7 @@ class MaskedTransformerDecoder(nn.Module):
             )
             sizes.append((Hl, Wl))
 
-        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
         mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
 

@@ -127,7 +127,7 @@ class ReferringCrossAttentionLayer(nn.Module):
     @nn.compact
     def __call__(self, identity, tgt, key, memory):
         out = MultiHeadAttention(self.dim, self.num_heads, name="attn")(tgt, key, memory)
-        return nn.LayerNorm(name="norm")(identity + out)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(identity + out)
 
 
 class _FrameStep(nn.Module):
@@ -264,7 +264,7 @@ class ReferringTracker(nn.Module):
         # outputs: (T, L, B, Q, C); references: (T, B, Q, C); indices: (T, B, Q)
 
         emit = outputs if training else outputs[:, -1:]
-        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
 
         x = decoder_norm(emit)  # (T, L', B, Q, C)
@@ -290,7 +290,7 @@ class ReferringTracker(nn.Module):
             )
             pooled = mask_pooling(mf_flat, masks_flat)  # (LBT, Q, Cm)
             pooled = pooled.reshape(Ln, Bn, Tn, Qn, -1).transpose(2, 0, 1, 3, 4)
-            pooled = nn.LayerNorm(name="maskpool_norm")(pooled)
+            pooled = nn.LayerNorm(epsilon=1e-5, name="maskpool_norm")(pooled)
             pooled = nn.Dense(C, name="maskpool_proj")(pooled)
             cls_emb = MLP(C, self.clip_embed_dim, num_layers=3, name="class_embed_ov")(
                 pooled + merged

@@ -1,0 +1,117 @@
+"""Image-dataset catalogs + the COCO pseudo-video / image-pretraining path
+(VERDICT missing #5): registration reads categories from the jsons instead of
+shipping 4.7k LoC of tables (reference mask2former/data/datasets/*)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from tests.test_data import make_cfg  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def synth_coco(tmp_path_factory):
+    import synth_data
+
+    from dvis_plus_tpu.data.datasets.coco import register_all_coco
+
+    root = str(tmp_path_factory.mktemp("coco_synth"))
+    synth_data.make_coco(root)
+    register_all_coco(root)
+    return root
+
+
+def test_coco_instances_catalog(synth_coco):
+    from dvis_plus_tpu.data.catalog import get_dataset, get_metadata
+
+    recs = get_dataset("coco_2017_train")
+    assert len(recs) == 4
+    assert recs[0]["length"] == 1 and len(recs[0]["annotations"][0]) == 2
+    md = get_metadata("coco_2017_train")
+    assert md.thing_classes == ["person", "car"]
+
+
+def test_coco_panoptic_catalog(synth_coco):
+    from dvis_plus_tpu.data.catalog import get_dataset
+
+    recs = get_dataset("coco_2017_train_panoptic")
+    assert len(recs) == 4
+    assert len(recs[0]["segments_infos"][0]) == 2
+    assert recs[0]["pan_seg_file_names"][0].endswith(".png")
+
+
+def test_pseudo_video_train_loader(synth_coco):
+    """COCO image -> pseudo clip through the image_instance dataset type."""
+    from dvis_plus_tpu.data.build import build_combined_train_loader
+
+    cfg = make_cfg()
+    cfg.model.num_classes = 2
+    cfg.datasets.train = ("coco_2017_train",)
+    cfg.datasets.dataset_type = ("image_instance",)
+    cfg.solver.ims_per_batch = 1
+    loader = build_combined_train_loader(cfg, seed=0)
+    batch = next(loader)
+    T = cfg.input.sampling_frame_num
+    assert batch["images"].shape[1] == T
+    assert batch["valid"].any()
+    # pseudo-video: identities persist across the synthesized frames
+    fv = batch["frame_valid"][0]
+    assert fv[batch["valid"][0]].all()
+
+
+def test_coco_panoptic_image_pretraining_loader(synth_coco):
+    """COCO panoptic as 1-frame clips through the video_panoptic mapper =
+    the segmenter image-pretraining data path."""
+    from dvis_plus_tpu.data.build import build_combined_train_loader
+
+    cfg = make_cfg()
+    cfg.model.num_classes = 3
+    cfg.input.sampling_frame_num = 1
+    cfg.input.sampling_frame_range = 0
+    cfg.datasets.train = ("coco_2017_train_panoptic",)
+    cfg.datasets.dataset_type = ("video_panoptic",)
+    cfg.solver.ims_per_batch = 2
+    loader = build_combined_train_loader(cfg, seed=0)
+    batch = next(loader)
+    assert batch["images"].shape[1] == 1
+    assert batch["valid"].any()
+
+
+def test_lsj_pseudo_video_fixed_canvas(synth_coco):
+    """LSJ pseudo-clip recipe (ResizeScaleClip + FixedSizeCropClip, reference
+    augmentation.py:507-560): all frames land on the fixed square canvas."""
+    from dvis_plus_tpu.data.build import build_combined_train_loader
+
+    cfg = make_cfg()
+    cfg.model.num_classes = 2
+    cfg.input.lsj_aug = True
+    cfg.input.max_size_train = 64
+    cfg.datasets.train = ("coco_2017_train",)
+    cfg.datasets.dataset_type = ("image_instance",)
+    cfg.solver.ims_per_batch = 2
+    loader = build_combined_train_loader(cfg, seed=0)
+    batch = next(loader)
+    assert batch["images"].shape[2:4] == (64, 64)
+    assert batch["valid"].any()
+
+
+def test_resize_scale_then_crop_sees_resized_size():
+    import random
+
+    from dvis_plus_tpu.data.augmentation import (
+        FixedSizeCropClip,
+        ResizeScaleClip,
+        sample_clip_transforms,
+    )
+
+    augs = [ResizeScaleClip(2.0, 2.0, 32, 32), FixedSizeCropClip((32, 32))]
+    ts = sample_clip_transforms(augs, 16, 8, random.Random(0))
+    # resize fits (16, 8) into the 64-scaled box -> (64, 32)
+    assert ts[0].out_size(16, 8) == (64, 32)
+    img = np.zeros((16, 8, 3), np.uint8)
+    for t in ts:
+        img = t.apply_image(img)
+    assert img.shape == (32, 32, 3)

@@ -1,0 +1,90 @@
+"""OV-DVIS++ CLI end-to-end: real train steps + ensemble eval (VERDICT
+missing #4: reference train_net_video_ov.py trains and evals; the ensemble
+driver calls ov_ensemble_inference + pool_clip, meta_architecture_ov.py
+:566-645)."""
+import argparse
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_data import synth_dataset, make_cfg  # noqa: F401
+
+
+def ov_tiny_cfg(arch):
+    cfg = make_cfg()
+    cfg.model.meta_architecture = arch
+    cfg.model.ov.enabled = True
+    cfg.model.ov.clip_embed_dim = 24
+    cfg.model.num_classes = 2
+    cfg.model.compute_dtype = "float32"
+    cfg.model.backbone.clip_depths = (1, 1, 1, 1)
+    cfg.model.backbone.clip_dims = (8, 16, 24, 32)
+    cfg.model.pixel_decoder.conv_dim = 32
+    cfg.model.pixel_decoder.mask_dim = 32
+    cfg.model.pixel_decoder.transformer_enc_layers = 1
+    cfg.model.pixel_decoder.transformer_dim_feedforward = 64
+    cfg.model.transformer_decoder.hidden_dim = 32
+    cfg.model.transformer_decoder.num_queries = 8
+    cfg.model.transformer_decoder.nheads = 4
+    cfg.model.transformer_decoder.dim_feedforward = 64
+    cfg.model.transformer_decoder.dec_layers = 2
+    cfg.model.transformer_decoder.mask_dim = 32
+    cfg.model.tracker.num_layers = 1
+    cfg.model.tracker.feedforward_dim = 64
+    cfg.model.refiner.num_layers = 1
+    cfg.model.refiner.feedforward_dim = 64
+    cfg.model.criterion.train_num_points = 64
+    cfg.solver.max_iter = 2
+    cfg.solver.ims_per_batch = 1
+    cfg.solver.checkpoint_period = 1000
+    cfg.datasets.train = ("synth_train",)
+    cfg.datasets.test = ("synth_train",)
+    cfg.test.window_size = 3
+    cfg.test.max_num = 5
+    return cfg
+
+
+def _args():
+    return argparse.Namespace(
+        clip_weights="", bpe="", random_text=True, resume=False, eval_only=False
+    )
+
+
+@pytest.mark.parametrize("arch", ["minvis", "dvis_online"])
+def test_ov_train_steps(arch, synth_dataset, tmp_path):  # noqa: F811
+    from train_net_video_ov import do_train, make_text_encoder
+
+    cfg = ov_tiny_cfg(arch)
+    cfg.output_dir = str(tmp_path)
+    encode_fn = make_text_encoder(cfg, _args())
+    state = do_train(cfg, _args(), encode_fn)
+    assert int(state.step) == 2
+
+
+@pytest.mark.parametrize("arch", ["minvis", "dvis_online", "dvis_offline"])
+def test_ov_eval_path(arch, synth_dataset, tmp_path):  # noqa: F811
+    from train_net_video_ov import do_eval, make_text_encoder
+
+    cfg = ov_tiny_cfg(arch)
+    cfg.output_dir = str(tmp_path)
+    encode_fn = make_text_encoder(cfg, _args())
+    res = do_eval(cfg, _args(), encode_fn)
+    assert "synth_train" in res
+    path = os.path.join(str(tmp_path), "inference", "synth_train", "results.json")
+    with open(path) as f:
+        rows = json.load(f)
+    assert len(rows) == 2 * cfg.test.max_num
+    assert all(len(r["segmentations"]) == 6 for r in rows)
+
+
+def test_text_encoder_fails_loudly_without_weights():
+    """No hash fallback by default (VERDICT weak #7)."""
+    from train_net_video_ov import make_text_encoder
+
+    cfg = ov_tiny_cfg("minvis")
+    args = _args()
+    args.random_text = False
+    with pytest.raises(SystemExit):
+        make_text_encoder(cfg, args)

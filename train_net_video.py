@@ -200,9 +200,10 @@ def run_task_eval(cfg, model, params, loader, dataset_name, dataset_type):
     task = cfg.test.task
     if task in ("vos", "mots"):
         from dvis_plus_tpu.engine.daq_inference import run_daq_inference
-        from dvis_plus_tpu.evaluation.evaluators import YTVISEvaluator
+        from dvis_plus_tpu.evaluation.evaluators import UniYTVISEvaluator
 
-        evaluator = YTVISEvaluator(
+        # MOTS rides the YTVIS-format rows (reference UniYTVISEvaluator)
+        evaluator = UniYTVISEvaluator(
             dataset_name, out_dir,
             contiguous_to_dataset_id={
                 v: k

@@ -1,49 +1,273 @@
 """Train / eval CLI for OV-DVIS++ (open vocabulary).
 
-Re-designs reference ``DVIS_Plus/train_net_video_ov.py``: same trainer
-pattern as ``train_net_video.py`` with the OV meta-architectures and
-per-dataset text classifiers. Text classifiers are built host-side once per
-dataset (cached) from prompt-engineered vocabulary files + the CLIP text
-tower, then passed into the jitted step as arrays.
+Re-designs reference ``DVIS_Plus/train_net_video_ov.py`` (333 LoC, the same
+Trainer pattern as train_net_video.py with ``add_ov_dvis_config``): an
+explicit JAX train loop plus an OV eval loop with the geometric-ensemble
+inference driver. Text classifiers are built host-side once per dataset from
+the prompt-engineered vocabulary files
+(``dvis_plus_tpu/data/ov_vocab/*_with_prompt_eng.txt``, mirrored from
+reference ``ov_dvis/data_video/datasets/ov_datasets``) through the converted
+open_clip text tower, then passed into the jitted step as arrays.
+
+Weights: ``--clip-weights`` points at an open_clip checkpoint (.pth state
+dict or .npz); ``--bpe`` at the public CLIP bpe_simple_vocab_16e6.txt.gz.
+Without them the CLI FAILS rather than silently using random classifiers;
+``--random-text`` opts into the debug fallback explicitly.
 """
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
+import time
 
 import numpy as np
 
 logger = logging.getLogger("dvis_plus_tpu.ov")
 
+_VOCAB_BY_DATASET = {
+    # dataset-name prefix -> shipped prompt-engineered vocabulary file
+    "ytvis_2019": "ytvis19_instance_with_prompt_eng.txt",
+    "ytvis_2021": "ytvis21_instance_with_prompt_eng.txt",
+    "ytvis_2022": "ytvis21_instance_with_prompt_eng.txt",
+    "ovis": "ovis_instance_with_prompt_eng.txt",
+    "coco": "coco_panoptic_with_prompt_eng.txt",
+    "panoVSPW": "vipseg_panoptic_with_prompt_eng.txt",
+    "lvvis": "lsvis_instance_with_prompt_eng.txt",
+}
+
+
+def _ov_arch(cfg) -> str:
+    arch = cfg.model.meta_architecture
+    if cfg.model.ov.enabled and not arch.endswith("_ov") and arch not in ("ctvis",):
+        arch = {"minvis": "minvis_ov", "dvis_online": "dvis_online_ov",
+                "dvis_offline": "dvis_offline_ov"}.get(arch, arch)
+    return arch
+
 
 def build_ov_model(cfg):
     from dvis_plus_tpu.models.meta.ov import DVISOnlineOV, DVISOfflineOV, OVSegmenter
 
-    arch = cfg.model.meta_architecture
-    if arch in ("minvis", "ctvis", "minvis_ov"):
+    arch = _ov_arch(cfg)
+    if arch in ("minvis_ov", "ctvis"):
         return OVSegmenter(cfg.model)
-    if arch in ("dvis_online", "dvis_online_ov"):
+    if arch == "dvis_online_ov":
         return DVISOnlineOV(cfg.model)
-    if arch in ("dvis_offline", "dvis_offline_ov"):
+    if arch == "dvis_offline_ov":
         return DVISOfflineOV(cfg.model)
     raise ValueError(arch)
 
 
-def build_text_classifier_for(cfg, dataset_name, encode_fn, void_embeds):
-    """Vocabulary file -> (classifier matrix, num_templates)."""
-    from dvis_plus_tpu.models.ov.text import TextClassifierCache, load_vocabulary_file
+def vocabulary_for(dataset_name: str):
+    """Prompt-engineered synonym lists for a dataset (reference
+    ov_datasets/*_with_prompt_eng.txt); falls back to catalog class names."""
+    from dvis_plus_tpu.models.ov.text import load_vocabulary_file
 
-    vocab_dir = os.environ.get("DVIS_OV_VOCAB", "datasets/ov_vocab")
-    path = os.path.join(vocab_dir, f"{dataset_name}_with_prompt_eng.txt")
-    if os.path.exists(path):
-        classes = load_vocabulary_file(path)
-    else:
-        from dvis_plus_tpu.data.catalog import get_metadata
+    vocab_dir = os.environ.get(
+        "DVIS_OV_VOCAB",
+        os.path.join(os.path.dirname(__file__), "dvis_plus_tpu", "data", "ov_vocab"),
+    )
+    for prefix, fname in _VOCAB_BY_DATASET.items():
+        if dataset_name.startswith(prefix):
+            path = os.path.join(vocab_dir, fname)
+            if os.path.exists(path):
+                classes = load_vocabulary_file(path)
+                # drop the invalid_class_id row if present
+                if classes and classes[0] and classes[0][0] == "invalid_class_id":
+                    classes = classes[1:]
+                return classes
+    from dvis_plus_tpu.data.catalog import get_metadata
 
-        classes = [[n] for n in get_metadata(dataset_name).thing_classes]
+    md = get_metadata(dataset_name)
+    names = list(getattr(md, "thing_classes", []) or []) + list(
+        getattr(md, "stuff_classes", []) or []
+    )
+    if not names:
+        raise ValueError(f"no vocabulary available for {dataset_name}")
+    return [[n] for n in names]
+
+
+def make_text_encoder(cfg, args):
+    """Returns encode_fn(prompts) -> (N, Cc) numpy embeddings."""
+    if args.random_text:
+        logger.warning(
+            "--random-text: classifiers are random hashes; quality is meaningless"
+        )
+
+        def encode_fn(prompts):
+            rng = np.random.RandomState(abs(hash(tuple(prompts))) % 2**31)
+            return rng.randn(len(prompts), cfg.model.ov.clip_embed_dim).astype(
+                np.float32
+            )
+
+        return encode_fn
+
+    if not args.clip_weights or not args.bpe:
+        raise SystemExit(
+            "OV requires --clip-weights <open_clip checkpoint> and --bpe "
+            "<bpe_simple_vocab_16e6.txt.gz> (or pass --random-text for a "
+            "debug run with meaningless classifiers)"
+        )
+    import jax
+    import jax.numpy as jnp
+
+    from dvis_plus_tpu.core.checkpoint import load_torch_state_dict
+    from dvis_plus_tpu.models.ov.clip_backbone import (
+        CLIPTextEncoder,
+        convert_open_clip_text,
+    )
+    from dvis_plus_tpu.models.ov.text import SimpleTokenizer
+
+    sd = load_torch_state_dict(args.clip_weights)
+    layers = len(
+        {k.split(".resblocks.")[1].split(".")[0] for k in sd if ".resblocks." in k}
+    )
+    width = np.asarray(
+        sd.get("positional_embedding", sd.get("text.positional_embedding"))
+    ).shape[1]
+    heads = width // 64
+    enc = CLIPTextEncoder(
+        width=width, heads=heads, layers=layers,
+        embed_dim=cfg.model.ov.clip_embed_dim,
+    )
+    params = {"params": convert_open_clip_text(sd, layers=layers, heads=heads)}
+    tokenizer = SimpleTokenizer(args.bpe)
+    apply = jax.jit(enc.apply)
+
+    def encode_fn(prompts):
+        tokens = jnp.asarray(tokenizer.tokenize(prompts))
+        return np.asarray(apply(params, tokens))
+
+    return encode_fn
+
+
+def build_classifier(cfg, dataset_name, encode_fn, void_embeds=None):
+    from dvis_plus_tpu.models.ov.text import TextClassifierCache
+
+    classes = vocabulary_for(dataset_name)
+    if void_embeds is None:
+        void_embeds = np.zeros((1, cfg.model.ov.clip_embed_dim), np.float32)
     cache = TextClassifierCache(encode_fn)
-    return cache.get(dataset_name, classes, void_embeds)
+    tc, nt = cache.get(dataset_name, classes, void_embeds)
+    return tc, nt, classes
+
+
+def do_train(cfg, args, encode_fn):
+    import jax
+    import jax.numpy as jnp
+
+    from dvis_plus_tpu.core import checkpoint as ckpt
+    from dvis_plus_tpu.data.build import build_combined_train_loader
+    from dvis_plus_tpu.engine.trainer import Batch, build_train_step
+    from dvis_plus_tpu.losses.targets import VideoTargets
+    from dvis_plus_tpu.parallel.mesh import build_mesh, shard_batch
+    from dvis_plus_tpu.utils.events import EventWriter
+    from train_net_video import register_all_datasets
+
+    register_all_datasets()
+    cfg.model.meta_architecture = _ov_arch(cfg)
+    model = build_ov_model(cfg)
+    train_name = cfg.datasets.train[0]
+    tc, nt, _ = build_classifier(cfg, train_name, encode_fn)
+
+    T = cfg.input.sampling_frame_num
+    div = cfg.model.size_divisibility
+    H = ((max(cfg.input.min_size_train) + div - 1) // div) * div
+    W = ((cfg.input.max_size_train + div - 1) // div) * div
+    arch = cfg.model.meta_architecture
+    if arch == "minvis_ov":
+        images = jnp.zeros((T, H, W, 3), jnp.float32)
+    else:
+        images = jnp.zeros((1, T, H, W, 3), jnp.float32)
+    params = jax.jit(
+        lambda r, i: model.init(r, i, jnp.asarray(tc), tuple(nt))
+    )(jax.random.key(cfg.seed), images)
+    if cfg.weights:
+        params = ckpt.load_weights(cfg.weights, params)
+
+    train_step, init_state = build_train_step(
+        cfg, model, text_classifier=tc, num_templates=nt
+    )
+    state = init_state(params)
+    mesh = build_mesh(model_parallel_size=cfg.parallel.model_parallel_size)
+    loader = build_combined_train_loader(cfg, seed=cfg.seed)
+    writer = EventWriter(cfg.output_dir)
+    rng = jax.random.key(cfg.seed)
+    ckpt_dir = os.path.join(cfg.output_dir, "checkpoints")
+    for step in range(int(state.step), cfg.solver.max_iter):
+        raw = next(loader)
+        batch = Batch(
+            images=raw["images"],
+            targets=VideoTargets(
+                labels=raw["labels"], masks=raw["masks"],
+                valid=raw["valid"], frame_valid=raw["frame_valid"],
+            ),
+        )
+        batch = shard_batch(batch, mesh)
+        state, metrics = train_step(state, batch, rng)
+        if step % 20 == 0:
+            writer.write(step, {k: float(v) for k, v in metrics.items()})
+            writer.log_console(step)
+        if (step + 1) % cfg.solver.checkpoint_period == 0 or step + 1 == cfg.solver.max_iter:
+            path = os.path.join(ckpt_dir, f"step_{step + 1:07d}")
+            ckpt.save(path, jax.device_get(state))
+            logger.info("saved %s", path)
+    return state
+
+
+def do_eval(cfg, args, encode_fn):
+    import jax
+    import jax.numpy as jnp
+
+    from dvis_plus_tpu.core import checkpoint as ckpt
+    from dvis_plus_tpu.data.build import build_test_loader
+    from dvis_plus_tpu.data.catalog import get_metadata
+    from dvis_plus_tpu.engine.ov_inference import run_ov_inference
+    from dvis_plus_tpu.evaluation.evaluators import YTVISEvaluator
+    from dvis_plus_tpu.models.ov.text import category_overlapping_mask
+    from train_net_video import register_all_datasets
+
+    register_all_datasets()
+    cfg.model.meta_architecture = _ov_arch(cfg)
+    model = build_ov_model(cfg)
+
+    # training vocabulary defines the seen/unseen split (reference
+    # _set_class_information, meta_architecture_ov.py:330-416)
+    train_classes = vocabulary_for(cfg.datasets.train[0])
+
+    results = {}
+    params = None
+    for dataset_name in cfg.datasets.test:
+        tc, nt, test_classes = build_classifier(cfg, dataset_name, encode_fn)
+        overlap = category_overlapping_mask(train_classes, test_classes)
+        if params is None:
+            T = cfg.test.window_size
+            H = ((cfg.input.min_size_test + 31) // 32) * 32
+            W = ((cfg.input.max_size_test + 31) // 32) * 32
+            arch = cfg.model.meta_architecture
+            shape = (T, H, W, 3) if arch == "minvis_ov" else (1, T, H, W, 3)
+            params = jax.jit(
+                lambda r, i: model.init(r, i, jnp.asarray(tc), tuple(nt))
+            )(jax.random.key(0), jnp.zeros(shape, jnp.float32))
+            if cfg.weights:
+                params = ckpt.load_weights(cfg.weights, params)
+        md = get_metadata(dataset_name)
+        evaluator = YTVISEvaluator(
+            dataset_name,
+            os.path.join(cfg.output_dir, "inference", dataset_name),
+            contiguous_to_dataset_id={
+                v: k
+                for k, v in getattr(md, "thing_dataset_id_to_contiguous_id", {}).items()
+            },
+            gt_json=getattr(md, "json_file", None),
+        )
+        loader = build_test_loader(cfg, dataset_name)
+        run_ov_inference(cfg, model, params, loader, evaluator, tc, nt, overlap)
+        results[dataset_name] = evaluator.evaluate()
+        logger.info("%s: %s", dataset_name, results[dataset_name])
+    print(json.dumps(results, indent=2))
+    return results
 
 
 def main():
@@ -51,47 +275,26 @@ def main():
     parser.add_argument("--config-file", required=True)
     parser.add_argument("--eval-only", action="store_true")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--clip-weights", default=os.environ.get("DVIS_CLIP_WEIGHTS", ""))
+    parser.add_argument("--bpe", default=os.environ.get("DVIS_CLIP_BPE", ""))
+    parser.add_argument("--random-text", action="store_true",
+                        help="debug: random text classifiers (meaningless quality)")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
-    from dvis_plus_tpu.core.config import load_config
+    from dvis_plus_tpu.core.config import load_config, save_config
 
     cfg = load_config(args.config_file, args.opts)
     cfg.model.ov.enabled = True
-    logging.basicConfig(level=logging.INFO)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s: %(message)s")
+    save_config(cfg, os.path.join(cfg.output_dir, "config.yaml"))
 
-    import jax
-    import jax.numpy as jnp
-
-    from dvis_plus_tpu.data.datasets.ytvis import register_all_ytvis
-
-    register_all_ytvis(os.environ.get("DVIS_DATASETS", "datasets"))
-    model = build_ov_model(cfg)
-
-    # Text encoding: CLIP text tower with converted open_clip weights when
-    # available; otherwise a deterministic hash fallback so the pipeline runs
-    # (classification quality then requires real weights).
-    def encode_fn(prompts):
-        rng = np.random.RandomState(abs(hash(tuple(prompts))) % 2**31)
-        return rng.randn(len(prompts), cfg.model.ov.clip_embed_dim).astype(np.float32)
-
-    void = np.zeros((1, cfg.model.ov.clip_embed_dim), np.float32)
-    tc, nt = build_text_classifier_for(cfg, cfg.datasets.test[0], encode_fn, void)
-    logger.info(
-        "text classifier for %s: %s rows, %d classes",
-        cfg.datasets.test[0], tc.shape, len(nt) - 1,
-    )
-
-    T = cfg.input.sampling_frame_num
-    H = ((max(cfg.input.min_size_train) + 31) // 32) * 32
-    W = ((cfg.input.max_size_train + 31) // 32) * 32
-    images = jnp.zeros((1, T, H, W, 3), jnp.float32)
-    params = jax.jit(model.init)(jax.random.key(cfg.seed), images, jnp.asarray(tc), tuple(nt))
-    logger.info("OV model initialized: %d params",
-                sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params)))
+    encode_fn = make_text_encoder(cfg, args)
     if args.eval_only:
-        logger.info("eval-only: run inference via engine.inference with the OV ensemble")
-    return params
+        do_eval(cfg, args, encode_fn)
+    else:
+        do_train(cfg, args, encode_fn)
 
 
 if __name__ == "__main__":
