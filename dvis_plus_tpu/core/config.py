@@ -83,6 +83,12 @@ class PixelDecoderConfig:
     # deformable-attention value dtype: fp32 matches the reference's fp32
     # island; bfloat16 halves gather bytes for ~20% faster encoder layers
     msdeform_value_dtype: str = "float32"
+    # exact (XLA flat gather) | pallas_local (clamped local-window kernel).
+    # The kernel beats the exact op 1.76x in isolation (32.8 vs 57.7 ms for a
+    # stride-8 level pair on v5e) but the current integration rebuilds corner
+    # tables per layer and loses it back (3.3 vs 8.3 fps e2e) — opt-in until
+    # the in-kernel-DMA version lands; serving default is exact + bf16 values
+    msdeform_impl: str = "exact"
 
 
 @dataclass

@@ -56,6 +56,8 @@ class MSDeformAttnLayer(nn.Module):
     n_points: int = 4
     value_dtype: str = "float32"  # bfloat16 halves gather bytes (~20% faster
     # per layer on v5e) at a small numeric cost; fp32 matches the reference
+    impl: str = "exact"  # exact (XLA flat-gather) | pallas_local (clamped
+    # local-window kernel, ~1.8x on v5e; offsets clamped to +-16 px)
 
     @nn.compact
     def __call__(
@@ -95,7 +97,14 @@ class MSDeformAttnLayer(nn.Module):
             reference_points[None, :, None, :, None, :]
             + offsets / normalizer[None, None, None, :, None, :]
         )
-        out = ms_deform_attn(value, spatial_shapes, locations, attn).astype(src.dtype)
+        if self.impl == "pallas_local":
+            from dvis_plus_tpu.ops.msdeform_pallas import ms_deform_attn_local
+
+            out = ms_deform_attn_local(value, spatial_shapes, locations, attn).astype(
+                src.dtype
+            )
+        else:
+            out = ms_deform_attn(value, spatial_shapes, locations, attn).astype(src.dtype)
         out = nn.Dense(self.d_model, name="output_proj")(out)
 
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + out)
@@ -198,6 +207,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     n_points: int = 4
     transformer_in_features: Tuple[str, ...] = ("res3", "res4", "res5")
     value_dtype: str = "float32"  # see MSDeformAttnLayer.value_dtype
+    impl: str = "exact"  # see MSDeformAttnLayer.impl
 
     @nn.compact
     def __call__(
@@ -239,6 +249,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 n_heads=self.n_heads,
                 n_points=self.n_points,
                 value_dtype=self.value_dtype,
+                impl=self.impl,
                 name=f"encoder_layer_{li}",
             )(src, pos, refs, spatial_shapes)
 

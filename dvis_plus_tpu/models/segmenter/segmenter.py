@@ -61,6 +61,7 @@ class Segmenter(nn.Module):
                 n_points=self.cfg.pixel_decoder.num_points,
                 transformer_in_features=self.cfg.pixel_decoder.transformer_in_features,
                 value_dtype=self.cfg.pixel_decoder.msdeform_value_dtype,
+                impl=self.cfg.pixel_decoder.msdeform_impl,
             )
         td = self.cfg.transformer_decoder
         self.transformer_decoder = MaskedTransformerDecoder(

@@ -48,29 +48,38 @@ def _build_corner_table(value_l: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
 
 def _single_level_kernel(
     idx_ref,  # (TQ, P) int32 local window row indices, VMEM
-    w_ref,  # (TQ, P, 4) f32 combined corner*attention weights, VMEM
+    w_ref,  # (TQ, P*4) f32 combined corner*attention weights (p-major), VMEM
     tab_ref,  # (WIN, 4D) window table slice, VMEM (auto-blocked)
-    out_ref,  # (TQ, 4D) per-(q) accumulated corners... -> see call site
+    out_ref,  # (TQ, D)
     *,
     WIN: int,
     P: int,
 ):
+    """Weighted-selection formulation: instead of one-hot gather rows per
+    (query, point), fold the bilinear/attention weights INTO the selection
+    matrix — S_c[q, idx[q,p]] += w[q,p,c] — then one (TQ, WIN) @ (WIN, D)
+    matmul per corner. Strictly 2D ops throughout: Mosaic crashes on
+    sublane<->lane reshapes inside kernels (probed on v5e), and lane slicing
+    + iota compares lower cleanly."""
     idx = idx_ref[0]  # (TQ, P)
-    w = w_ref[0]  # (TQ, P, 4)
+    w = w_ref[0]  # (TQ, P*4)
     tab = tab_ref[0]  # (WIN, 4D)
     TQ = idx.shape[0]
     D4 = tab.shape[1]
     D = D4 // 4
 
-    # selection matrix (TQ*P, WIN) built in VMEM
-    rows = idx.reshape(TQ * P, 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TQ * P, WIN), 1)
-    sel = (cols == rows).astype(tab.dtype)
-    g = jnp.dot(sel, tab, preferred_element_type=jnp.float32)  # (TQ*P, 4D)
-    g = g.reshape(TQ, P, 4, D)
-    out_ref[0] = jnp.einsum(
-        "qpcd,qpc->qd", g, w.astype(jnp.float32), preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TQ, WIN), 1)
+    sels = [jnp.zeros((TQ, WIN), jnp.float32) for _ in range(4)]
+    for p in range(P):
+        onehot = (cols == idx[:, p : p + 1]).astype(jnp.float32)
+        for c in range(4):
+            sels[c] = sels[c] + onehot * w[:, p * 4 + c : p * 4 + c + 1]
+    out = jnp.dot(sels[0], tab[:, 0:D], preferred_element_type=jnp.float32)
+    for c in range(1, 4):
+        out = out + jnp.dot(
+            sels[c], tab[:, c * D : (c + 1) * D], preferred_element_type=jnp.float32
+        )
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def deform_sample_level_pallas(
@@ -181,7 +190,7 @@ def deform_sample_level_pallas(
         grid=(B * M * nt,),
         in_specs=[
             pl.BlockSpec((1, TQ, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, P, 4), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, P * 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WIN, D4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TQ, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -189,7 +198,7 @@ def deform_sample_level_pallas(
         interpret=interpret,
     )(
         lidx_t.reshape(B * M * nt, TQ, P),
-        cw_t.reshape(B * M * nt, TQ, P, 4),
+        cw_t.reshape(B * M * nt, TQ, P * 4),
         wins.reshape(B * M * nt, WIN, D4),
     )
 
@@ -198,3 +207,120 @@ def deform_sample_level_pallas(
     out = jnp.swapaxes(out, 3, 4).reshape(B, M, Hq, Wq, D)
     out = out.reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
     return out
+
+
+def _tile_for(Hq: int, Wq: int, sy: float = 1.0, sx: float = 1.0,
+              radius: int = 8, H1: int = 10**9, W1: int = 10**9,
+              vmem_budget: float = 4.5e6) -> Tuple[int, int]:
+    """Pick a (th, tw) tile dividing the query grid with TQ in a VMEM-friendly
+    range, subject to the selection-matrix VMEM budget (4 corner accumulators
+    of (TQ, WIN) fp32 + the (WIN, 4D) table block must fit)."""
+
+    def divisors(n):
+        return [d for d in range(1, n + 1) if n % d == 0]
+
+    def vmem(th, tw):
+        win_h = min(int(np.ceil((th - 1) * sy + 2 * radius + 4)), H1)
+        win_w = min(int(np.ceil((tw - 1) * sx + 2 * radius + 4)), W1)
+        WIN = win_h * win_w
+        tq = th * tw
+        return 4 * tq * WIN * 4 + WIN * 128 * 4 * 2  # sel accum + 2x table buf
+
+    best = None
+    for th in divisors(Hq):
+        for tw in divisors(Wq):
+            tq = th * tw
+            if not 16 <= tq <= 512:
+                continue
+            if vmem(th, tw) > vmem_budget:
+                continue
+            # prefer wide tiles (lane-friendly) with tq near 128
+            score = (abs(tq - 128), -tw)
+            if best is None or score < best[0]:
+                best = (score, (th, tw))
+    if best is None:
+        # smallest viable tile
+        for th in divisors(Hq):
+            for tw in divisors(Wq):
+                if vmem(th, tw) <= vmem_budget:
+                    return (th, tw)
+        return (1, 1)
+    return best[1]
+
+
+def ms_deform_attn_local(
+    value: jnp.ndarray,  # (B, Len, M, D)
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,  # (B, Lq, M, L, P, 2), Lq == Len
+    attention_weights: jnp.ndarray,  # (B, Lq, M, L, P)
+    radius: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in encoder-path replacement for :func:`ms_deform_attn` using the
+    local-window Pallas kernel for every (query-level, value-level) pair.
+
+    Queries must be the concatenated level grids themselves (the encoder
+    self-attention structure, msdeformattn.py:92-131). Sampling locations are
+    clamped to ``radius`` pixels (of the value level) around each query's
+    reference point — the documented deviation from the exact op; trained
+    offsets stay well inside for the shipped models.
+    """
+    B, Len, M, D = value.shape
+    L = len(spatial_shapes)
+    P = sampling_locations.shape[4]
+    assert sampling_locations.shape[1] == Len, "queries must be the level grids"
+
+    # per-level corner tables (built once per call; shared by all query levels)
+    tables = []
+    starts = []
+    start = 0
+    for (H, W) in spatial_shapes:
+        value_l = jax.lax.dynamic_slice_in_dim(value, start, H * W, axis=1)
+        tables.append(_build_corner_table(value_l.astype(jnp.float32), H, W))
+        starts.append(start)
+        start += H * W
+
+    from dvis_plus_tpu.ops.msdeform import _bilinear_gather_level
+
+    outs = []
+    for lq, (Hq, Wq) in enumerate(spatial_shapes):
+        s = starts[lq]
+        Lq = Hq * Wq
+        loc_q = jax.lax.dynamic_slice_in_dim(sampling_locations, s, Lq, axis=1)
+        attn_q = jax.lax.dynamic_slice_in_dim(attention_weights, s, Lq, axis=1)
+        acc = None
+        for lv, (Hv, Wv) in enumerate(spatial_shapes):
+            if Hv <= Hq and Wv <= Wq:
+                # query grid at least as fine as the value grid: local windows
+                # stay VMEM-sized (span ~ tile * stride_ratio <= tile)
+                tile = _tile_for(
+                    Hq, Wq, sy=Hv / Hq, sx=Wv / Wq, radius=radius,
+                    H1=Hv + 1, W1=Wv + 1,
+                )
+                o = deform_sample_level_pallas(
+                    tables[lv],
+                    loc_q[:, :, :, lv],
+                    attn_q[:, :, :, lv],
+                    (Hq, Wq),
+                    radius=radius,
+                    tile=tile,
+                    interpret=interpret,
+                )  # (B, Lq, M, D)
+            else:
+                # coarse queries sampling a finer level: few queries, the
+                # window would cover most of the level — plain gather wins
+                value_l = jax.lax.dynamic_slice_in_dim(
+                    value, starts[lv], Hv * Wv, axis=1
+                )
+                sampled = _bilinear_gather_level(
+                    value_l, Hv, Wv, loc_q[:, :, :, lv]
+                )  # (B, Lq, M, P, D)
+                o = jnp.einsum(
+                    "blmpd,blmp->blmd",
+                    sampled.astype(jnp.float32),
+                    attn_q[:, :, :, lv].astype(jnp.float32),
+                )
+            acc = o if acc is None else acc + o
+        outs.append(acc)
+    out = jnp.concatenate(outs, axis=1)  # (B, Len, M, D)
+    return out.reshape(B, Len, M * D).astype(value.dtype)

@@ -60,3 +60,36 @@ def test_out_of_radius_samples_are_clamped_not_wrong():
         radius=4, tile=(8, 8), interpret=True,
     )
     assert np.all(np.isfinite(np.asarray(got)))
+
+
+def test_multi_level_local_matches_exact():
+    """ms_deform_attn_local == exact op over 3 pyramid levels when offsets
+    stay inside the clamp radius (the encoder integration surface)."""
+    from dvis_plus_tpu.ops.msdeform_pallas import ms_deform_attn_local
+
+    rng = np.random.RandomState(5)
+    B, M, D, P = 2, 2, 8, 4
+    shapes = [(16, 16), (8, 8), (4, 4)]
+    Len = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.randn(B, Len, M, D).astype(np.float32))
+
+    # reference points per level grid, broadcast to value levels
+    refs = []
+    for (H, W) in shapes:
+        qi = (np.arange(H * W) // W + 0.5) / H
+        qj = (np.arange(H * W) % W + 0.5) / W
+        refs.append(np.stack([qj, qi], -1))
+    ref = np.concatenate(refs, 0)  # (Len, 2) normalized
+
+    loc = np.zeros((B, Len, M, len(shapes), P, 2), np.float32)
+    for lv, (H, W) in enumerate(shapes):
+        off = rng.uniform(-2.5, 2.5, (B, Len, M, P, 2)).astype(np.float32)
+        loc[:, :, :, lv] = ref[None, :, None, None] + off / np.array([W, H])
+    attn = rng.rand(B, Len, M, len(shapes), P).astype(np.float32)
+    attn /= attn.sum((-1, -2), keepdims=True)
+
+    exact = ms_deform_attn(value, shapes, jnp.asarray(loc), jnp.asarray(attn))
+    got = ms_deform_attn_local(
+        value, shapes, jnp.asarray(loc), jnp.asarray(attn), radius=4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), rtol=1e-4, atol=1e-5)
