@@ -10,6 +10,7 @@ to host for the evaluator.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, Iterator, Optional
 
 import jax
@@ -251,10 +252,17 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
         masks = jnp.concatenate(masks_l, axis=1)[:, :T]  # (Q, T, H4, W4)
         return logits.mean(axis=0), masks
 
-    # Offline: embeds accumulate on device (tiny); mask features page to HOST
-    # per window so HBM stays O(window), not O(video) — the TPU-native form of
-    # the reference's windowed mask prediction + CPU offload (:1473,
-    # refiner.py:169-194).
+    # Offline: embeds accumulate on device (tiny); mask features stay
+    # device-resident while the whole video fits the HBM budget, and page to
+    # HOST per window beyond it — the TPU-native form of the reference's
+    # windowed mask prediction + CPU offload (:1473, refiner.py:169-194),
+    # without paying host bandwidth on short/medium videos.
+    n_windows_total = n_windows
+    Him, Wim = images.shape[1:3]
+    mf_bytes_per_window = (Him // 4) * (Wim // 4) * 256 * 4 * W_sz  # ~stride-4 fp32
+    hbm_budget = float(os.environ.get("DVIS_OFFLINE_MF_BUDGET_GB", 4.0)) * 1e9
+    keep_on_device = n_windows_total * mf_bytes_per_window < hbm_budget
+
     online_logits_l, inst_l, frame_l, mf_host = [], [], [], []
     for i in range(n_windows):
         chunk = jnp.asarray(images[i * W_sz : (i + 1) * W_sz])
@@ -262,7 +270,7 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
         online_logits_l.append(lg)
         inst_l.append(inst)
         frame_l.append(frame)
-        mf_host.append(np.asarray(mf))
+        mf_host.append(mf if keep_on_device else np.asarray(mf))
     online_logits = jnp.concatenate(online_logits_l, axis=0)  # (T', Q, K+1)
     inst = jnp.concatenate(inst_l, axis=1)
     frame = jnp.concatenate(frame_l, axis=1)
@@ -291,8 +299,11 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
             jax.lax.dynamic_slice_in_dim(membd, i * W_sz, W_sz, axis=0),
             jnp.asarray(mf_host[i]),
         )  # (Q, W_sz, H4, W4)
-        masks_l.append(np.asarray(mw, dtype=np.float16))
-    r_masks = np.concatenate(masks_l, axis=1)  # (Q, T', H4, W4) host
+        masks_l.append(mw if keep_on_device else np.asarray(mw, dtype=np.float16))
+    if keep_on_device:
+        r_masks = jnp.concatenate(masks_l, axis=1)  # (Q, T', H4, W4) device
+    else:
+        r_masks = np.concatenate(masks_l, axis=1)  # (Q, T', H4, W4) host
 
     # class fusion: max of refined and online probabilities (:824-826, :1377)
     probs = jax.nn.softmax(r_logits.astype(jnp.float32), axis=-1)

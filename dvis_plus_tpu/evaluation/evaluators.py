@@ -93,7 +93,10 @@ class YTVISEvaluator:
                     "iscrowd": ann.get("iscrowd", 0),
                 }
             )
-        return evaluate_vis(gt_anns, self._predictions, nframes)
+        import os as _os
+
+        workers = min(_os.cpu_count() or 1, 16) if len(self._predictions) > 200 else 0
+        return evaluate_vis(gt_anns, self._predictions, nframes, workers=workers)
 
 
 def _id_color(seg_id: int) -> np.ndarray:

@@ -49,15 +49,52 @@ def track_iou(
     return inter / union if union > 0 else 0.0
 
 
+def _match_one(args):
+    """Per-(video, category) IoU matrix + greedy threshold matching — the
+    multiprocessing work item (the reference vendors C pycocotools for this;
+    our per-pair tube IoU is the C++ RLE codec, the pair loop parallelizes
+    over videos like the reference VPQ scorer, eval_vpq_vspw.py:219-295)."""
+    dt, gt, crowd = args
+    T = len(IOU_THRS)
+    ious = np.zeros((len(dt), len(gt)))
+    for i, d in enumerate(dt):
+        for j, g in enumerate(gt):
+            ious[i, j] = track_iou(d["segmentations"], g["segmentations"], crowd[j])
+    matched = np.zeros((T, len(dt)), bool)
+    ignored = np.zeros((T, len(dt)), bool)
+    for ti, thr in enumerate(IOU_THRS):
+        gt_used = [False] * len(gt)
+        for i in range(len(dt)):
+            best, best_j = thr, -1
+            for j in range(len(gt)):
+                if gt_used[j] and not crowd[j]:
+                    continue
+                if ious[i, j] >= best or (
+                    crowd[j] and ious[i, j] >= thr and best_j >= 0 and not crowd[best_j]
+                ):
+                    if best_j >= 0 and not crowd[best_j] and crowd[j]:
+                        continue
+                    best, best_j = ious[i, j], j
+            if best_j >= 0:
+                if crowd[best_j]:
+                    ignored[ti, i] = True
+                else:
+                    gt_used[best_j] = True
+                    matched[ti, i] = True
+    return matched, ignored
+
+
 def evaluate_vis(
     gt_annotations: List[dict],
     predictions: List[dict],
     num_frames_per_video: Dict[int, int],
     max_dets: int = 100,
+    workers: int = 0,
 ) -> Dict[str, float]:
     """gt_annotations: [{video_id, category_id, segmentations, iscrowd, id}];
     predictions: [{video_id, category_id, segmentations, score}].
-    Returns {AP, AP50, AP75, AR100, ...}."""
+    Returns {AP, AP50, AP75, AR100, ...}. ``workers > 1`` parallelizes the
+    per-(video, category) tube-IoU matching over processes."""
     gts = defaultdict(list)
     dts = defaultdict(list)
     cat_ids = set()
@@ -69,6 +106,24 @@ def evaluate_vis(
     video_ids = sorted(num_frames_per_video)
 
     T = len(IOU_THRS)
+    # build the (cat, vid) work list, then match serially or in a pool
+    work = {}
+    for cat in sorted(cat_ids):
+        for vid in video_ids:
+            gt = gts.get((vid, cat), [])
+            dt = sorted(dts.get((vid, cat), []), key=lambda d: -d["score"])[:max_dets]
+            if not dt:
+                continue
+            crowd = [bool(g.get("iscrowd", 0)) for g in gt]
+            work[(cat, vid)] = (dt, gt, crowd)
+    if workers and workers > 1 and len(work) > 8:
+        import multiprocessing as mp
+
+        with mp.get_context("fork").Pool(workers) as pool:
+            results = dict(zip(work.keys(), pool.map(_match_one, work.values())))
+    else:
+        results = {k: _match_one(v) for k, v in work.items()}
+
     # per category: accumulate match flags over all videos
     ap_per_cat = []
     ar_per_cat = []
@@ -80,41 +135,12 @@ def evaluate_vis(
         n_gt = 0
         for vid in video_ids:
             gt = gts.get((vid, cat), [])
-            dt = sorted(
-                dts.get((vid, cat), []), key=lambda d: -d["score"]
-            )[:max_dets]
             crowd = [bool(g.get("iscrowd", 0)) for g in gt]
             n_gt += sum(1 for c in crowd if not c)
-            if not dt:
+            if (cat, vid) not in work:
                 continue
-            ious = np.zeros((len(dt), len(gt)))
-            for i, d in enumerate(dt):
-                for j, g in enumerate(gt):
-                    ious[i, j] = track_iou(
-                        d["segmentations"], g["segmentations"], crowd[j]
-                    )
-            matched = np.zeros((T, len(dt)), bool)
-            ignored = np.zeros((T, len(dt)), bool)
-            for ti, thr in enumerate(IOU_THRS):
-                gt_used = [False] * len(gt)
-                for i in range(len(dt)):
-                    best, best_j = thr, -1
-                    for j in range(len(gt)):
-                        if gt_used[j] and not crowd[j]:
-                            continue
-                        if ious[i, j] >= best or (
-                            crowd[j] and ious[i, j] >= thr and best_j >= 0 and not crowd[best_j]
-                        ):
-                            # prefer non-crowd matches; crowd only if no real gt
-                            if best_j >= 0 and not crowd[best_j] and crowd[j]:
-                                continue
-                            best, best_j = ious[i, j], j
-                    if best_j >= 0:
-                        if crowd[best_j]:
-                            ignored[ti, i] = True
-                        else:
-                            gt_used[best_j] = True
-                            matched[ti, i] = True
+            dt = work[(cat, vid)][0]
+            matched, ignored = results[(cat, vid)]
             dt_scores_all.extend(d["score"] for d in dt)
             dt_matched_all.append(matched)
             dt_ignored_all.append(ignored)

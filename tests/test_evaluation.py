@@ -122,3 +122,33 @@ def test_stq():
     pr_ids[2:][ids[2:] == 3] = 9
     res2 = stq_eval([(cls, pr_ids)], [(cls, ids)], num_classes=2, num_things=1)
     assert res2["STQ"] < res["STQ"]
+
+
+def test_evaluate_vis_workers_match_serial():
+    """Multiprocess tube-IoU matching == serial (VERDICT weak #9)."""
+    import numpy as np
+
+    from dvis_plus_tpu.evaluation.ytvos_eval import evaluate_vis
+    from dvis_plus_tpu.utils import rle as rle_codec
+
+    rng = np.random.RandomState(0)
+
+    def seg(m):
+        e = rle_codec.encode(m.astype(np.uint8))
+        return {"size": e["size"], "counts": e["counts"].decode("ascii")}
+
+    gt, dt = [], []
+    for vid in range(1, 13):
+        for k in range(2):
+            m = np.zeros((24, 24), np.uint8)
+            m[4 * k : 4 * k + 8, 4:20] = 1
+            gt.append({"video_id": vid, "category_id": k + 1,
+                       "segmentations": [seg(m)] * 3, "iscrowd": 0})
+            mp = np.roll(m, rng.randint(0, 3), axis=1)
+            dt.append({"video_id": vid, "category_id": k + 1,
+                       "segmentations": [seg(mp)] * 3, "score": rng.rand()})
+    nframes = {vid: 3 for vid in range(1, 13)}
+    serial = evaluate_vis(gt, dt, nframes, workers=0)
+    par = evaluate_vis(gt, dt, nframes, workers=4)
+    assert serial == par
+    assert serial["AP"] > 0
