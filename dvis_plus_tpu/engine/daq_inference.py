@@ -194,6 +194,29 @@ def _pad_rows(a: np.ndarray, n: int, fill=0.0) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
+def daq_video_logits_masks(cfg: Config, model, params, images, window_fns: Dict):
+    """Per-video (seq mean logits (N', K+1), full masks (N', T, H4, W4)) for
+    the shared VPS/VSS post-processing (reference DAQ inference_video_vps/vss
+    run on the seq outputs, meta_architecture.py:755/:840). N' is padded to a
+    bucket of 16 with -1e4/no-object rows."""
+    T = images.shape[0]
+    records, _, shape4 = stream_video(cfg, model, params, images, window_fns)
+    pred_cls, full_masks, embeds, time_valid, _ = collect_sequences(
+        cfg, records, T, shape4
+    )
+    if cfg.model.meta_architecture == "daq_offline" and pred_cls.shape[0] > 0:
+        pred_cls, full_masks = _offline_refine(
+            cfg, model, params, window_fns,
+            pred_cls, full_masks, embeds, time_valid, records, images,
+        )
+    N = pred_cls.shape[0]
+    bucket = max(16, ((N + 15) // 16) * 16)
+    logits = _pad_rows(pred_cls.astype(np.float32), bucket, fill=-1e4)
+    logits[N:, -1] = 1.0
+    masks = _pad_rows(full_masks.astype(np.float32), bucket, fill=-1e4)
+    return logits, masks
+
+
 def run_daq_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator):
     """DAQ eval loop: streaming cutter -> (optional offline refine) ->
     top-K VIS outputs -> evaluator (or VOS PNGs for test.task == 'vos')."""

@@ -86,8 +86,13 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
 
 def video_logits_masks(cfg: Config, model, params, images, window_fns, W_sz):
     """Shared per-video forward: (fused class logits (Q, K+1),
-    masks (Q, T', H4, W4)) for any close-vocab arch."""
-    if cfg.model.meta_architecture in ("minvis", "ctvis"):
+    masks (Q, T', H4, W4)) for any close-vocab arch incl. DAQ."""
+    arch = cfg.model.meta_architecture
+    if arch.startswith("daq"):
+        from dvis_plus_tpu.engine.daq_inference import daq_video_logits_masks
+
+        return daq_video_logits_masks(cfg, model, params, images, window_fns)
+    if arch in ("minvis", "ctvis"):
         return _minvis_video(cfg, model, params, images, window_fns, W_sz)
     return _online_video(cfg, model, params, images, window_fns, W_sz)
 

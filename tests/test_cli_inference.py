@@ -190,3 +190,31 @@ def test_vps_vss_train_loader_routing(synth_vps_vss):
     loader = build_combined_train_loader(cfg, seed=0)
     batch = next(loader)
     assert batch["valid"].any()
+
+
+def test_daq_vps_eval_path(synth_vps_vss, tmp_path):
+    """DAQ sequences through the shared VPS post-processing (reference DAQ
+    inference_video_vps, meta_architecture.py:755)."""
+    import jax
+
+    from train_net_video import build_model, init_params, run_task_eval
+    from dvis_plus_tpu.data.build import build_test_loader
+
+    cfg = tiny_cfg("daq_online")
+    cfg.model.num_classes = 3
+    cfg.model.daq.num_new_ins = 4
+    cfg.model.daq.max_num_instances = 6
+    cfg.model.daq.inference_select_thr = 0.0
+    cfg.model.daq.aux_inference_select_thr = 0.0
+    cfg.test.task = "vps"
+    cfg.datasets.test = ("panoVSPW_vps_video_val",)
+    cfg.datasets.dataset_type_test = ("video_panoptic",)
+    cfg.output_dir = str(tmp_path)
+    model = build_model(cfg)
+    params = init_params(cfg, model, jax.random.key(0))
+    loader = build_test_loader(cfg, "panoVSPW_vps_video_val", dataset_type="video_panoptic")
+    res = run_task_eval(cfg, model, params, loader, "panoVSPW_vps_video_val", "video_panoptic")
+    assert res["videos"] == 2
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "inference", "panoVSPW_vps_video_val", "pred.json")
+    )

@@ -115,3 +115,57 @@ def test_resize_scale_then_crop_sees_resized_size():
     for t in ts:
         img = t.apply_image(img)
     assert img.shape == (32, 32, 3)
+
+
+def test_coco_image_pretraining_train_steps(synth_coco, tmp_path):
+    """Segmenter image pretraining: minvis arch on COCO panoptic as 1-frame
+    clips, a few optimizer steps end-to-end (VERDICT #9 done-criteria)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvis_plus_tpu.data.build import build_combined_train_loader
+    from dvis_plus_tpu.engine.trainer import Batch, build_train_step
+    from dvis_plus_tpu.losses.targets import VideoTargets
+    from train_net_video import build_model, init_params
+
+    cfg = make_cfg()
+    cfg.model.meta_architecture = "minvis"
+    cfg.model.num_classes = 3
+    cfg.model.compute_dtype = "float32"
+    cfg.model.pixel_decoder.conv_dim = 32
+    cfg.model.pixel_decoder.mask_dim = 32
+    cfg.model.pixel_decoder.transformer_enc_layers = 1
+    cfg.model.pixel_decoder.transformer_dim_feedforward = 64
+    cfg.model.transformer_decoder.hidden_dim = 32
+    cfg.model.transformer_decoder.num_queries = 8
+    cfg.model.transformer_decoder.nheads = 4
+    cfg.model.transformer_decoder.dim_feedforward = 64
+    cfg.model.transformer_decoder.dec_layers = 2
+    cfg.model.transformer_decoder.mask_dim = 32
+    cfg.model.criterion.train_num_points = 64
+    cfg.input.sampling_frame_num = 1
+    cfg.input.sampling_frame_range = 0
+    cfg.datasets.train = ("coco_2017_train_panoptic",)
+    cfg.datasets.dataset_type = ("video_panoptic",)
+    cfg.solver.ims_per_batch = 2
+    cfg.solver.max_iter = 2
+
+    model = build_model(cfg)
+    params = init_params(cfg, model, jax.random.key(0))
+    train_step, init_state = build_train_step(cfg, model)
+    state = init_state(params)
+    loader = build_combined_train_loader(cfg, seed=0)
+    for _ in range(2):
+        raw = next(loader)
+        batch = Batch(
+            images=jnp.asarray(raw["images"]),
+            targets=VideoTargets(
+                labels=jnp.asarray(raw["labels"]),
+                masks=jnp.asarray(raw["masks"]),
+                valid=jnp.asarray(raw["valid"]),
+                frame_valid=jnp.asarray(raw["frame_valid"]),
+            ),
+        )
+        state, metrics = train_step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state.step) == 2
