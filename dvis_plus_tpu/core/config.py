@@ -83,11 +83,12 @@ class PixelDecoderConfig:
     # deformable-attention value dtype: fp32 matches the reference's fp32
     # island; bfloat16 halves gather bytes for ~20% faster encoder layers
     msdeform_value_dtype: str = "float32"
-    # exact (XLA flat gather) | pallas_local (clamped local-window kernel).
-    # The kernel beats the exact op 1.76x in isolation (32.8 vs 57.7 ms for a
-    # stride-8 level pair on v5e) but the current integration rebuilds corner
-    # tables per layer and loses it back (3.3 vs 8.3 fps e2e) — opt-in until
-    # the in-kernel-DMA version lands; serving default is exact + bf16 values
+    # exact (XLA flat gather) | pallas_local (in-kernel-DMA local-window
+    # kernel, offsets clamped to +-8 px). Measured v5e, stride-8 level pair:
+    # pallas 28.8 ms (bf16 MXU) / 46.4 ms (fp32-exact) vs exact-op fp32
+    # 57.7 ms. E2E R50 online 720p: pallas 6.0 fps vs exact+bf16-values
+    # 8.3 fps (per-layer fp32 corner-table builds still dominate) — the
+    # exact path stays the serving default
     msdeform_impl: str = "exact"
 
 

@@ -98,11 +98,20 @@ class MSDeformAttnLayer(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
         if self.impl == "pallas_local":
+            import jax.lax as lax
+
             from dvis_plus_tpu.ops.msdeform_pallas import ms_deform_attn_local
 
-            out = ms_deform_attn_local(value, spatial_shapes, locations, attn).astype(
-                src.dtype
+            # bf16 values = serving numerics -> single-pass MXU; fp32 values =
+            # parity mode -> HIGHEST (exact to 1e-6 vs the reference math)
+            prec = (
+                lax.Precision.DEFAULT
+                if jnp.dtype(self.value_dtype) == jnp.bfloat16
+                else lax.Precision.HIGHEST
             )
+            out = ms_deform_attn_local(
+                value, spatial_shapes, locations, attn, precision=prec
+            ).astype(src.dtype)
         else:
             out = ms_deform_attn(value, spatial_shapes, locations, attn).astype(src.dtype)
         out = nn.Dense(self.d_model, name="output_proj")(out)
