@@ -108,8 +108,7 @@ def main():
         assert classes, "OV demo needs --thing-classes/--stuff-classes or a registered dataset vocabulary"
         from dvis_plus_tpu.models.ov.text import TextClassifierCache
 
-        void = np.zeros((1, cfg.model.ov.clip_embed_dim), np.float32)
-        tc, nt = TextClassifierCache(encode_fn).get("demo", classes, void)
+        tc, nt = TextClassifierCache(encode_fn).get("demo", classes)
         T = cfg.test.window_size
         div = cfg.model.size_divisibility
         Hd = ((cfg.input.min_size_test + div - 1) // div) * div

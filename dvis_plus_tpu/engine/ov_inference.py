@@ -105,8 +105,9 @@ def _minvis_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
                 method=type(model).pool_clip,
             )
             scale = model.apply(params, method=type(model).clip_logit_scale)
+            tc_full = model.apply(params, tc, method=type(model).full_classifier)
             fused = ov_ensemble_inference(
-                out["pred_logits"], pooled, tc, nt, scale, overlap, alpha, beta
+                out["pred_logits"], pooled, tc_full, nt, scale, overlap, alpha, beta
             )
             return fused, out["pred_masks"], out["pred_embds"]
 
@@ -149,8 +150,9 @@ def _online_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
                 method=type(model).pool_clip,
             )
             scale = model.apply(params, method=type(model).clip_logit_scale)
+            tc_full = model.apply(params, tc, method=type(model).full_classifier)
             fused = ov_ensemble_inference(
-                t_logits, pooled, tc, nt, scale, overlap, alpha, beta
+                t_logits, pooled, tc_full, nt, scale, overlap, alpha, beta
             )
             return fused, t_masks, new_state
 
@@ -220,9 +222,10 @@ def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, al
                 params, clip_w, masks_tq, method=type(model).pool_clip
             )
             scale = model.apply(params, method=type(model).clip_logit_scale)
+            tc_full = model.apply(params, tc, method=type(model).full_classifier)
             from dvis_plus_tpu.models.ov.heads import get_classification_logits
 
-            out_logits = get_classification_logits(pooled, tc, scale, nt)
+            out_logits = get_classification_logits(pooled, tc_full, scale, nt)
             return masks_w[0], mf_sum, mf_cnt, out_logits
 
         @jax.jit

@@ -57,6 +57,13 @@ class OVSegmenter(nn.Module):
             value_dtype=self.cfg.pixel_decoder.msdeform_value_dtype,
             impl=self.cfg.pixel_decoder.msdeform_impl,
         )
+        # learned void embedding rows (one per training dataset; reference
+        # meta_architecture_ov.py:152-157) — normalized and appended to every
+        # text classifier in-graph via :meth:`full_classifier`
+        self.void_embedding = self.param(
+            "void_embedding", nn.initializers.normal(1.0),
+            (1, self.cfg.ov.clip_embed_dim),
+        )
         td = self.cfg.transformer_decoder
         self.transformer_decoder = OVMaskedTransformerDecoder(
             hidden_dim=td.hidden_dim,
@@ -68,12 +75,21 @@ class OVSegmenter(nn.Module):
             clip_embed_dim=self.cfg.ov.clip_embed_dim,
         )
 
+    def full_classifier(self, text_classifier: jnp.ndarray) -> jnp.ndarray:
+        """Append the normalized learned void rows (reference
+        ``torch.cat([text_classifier, F.normalize(void_embed)])``)."""
+        v = self.void_embedding
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+        return jnp.concatenate([text_classifier, v.astype(text_classifier.dtype)], 0)
+
     def __call__(
         self,
         images: jnp.ndarray,  # (BT, H, W, 3)
         text_classifier: jnp.ndarray,
         num_templates: Sequence[int],
     ) -> Dict[str, Any]:
+        if text_classifier.shape[0] + self.void_embedding.shape[0] == sum(num_templates):
+            text_classifier = self.full_classifier(text_classifier)
         compute_dtype = jnp.dtype(self.cfg.compute_dtype)
         features = self.backbone(images.astype(compute_dtype))
         # backbone is frozen (reference clip.py:33); also optimizer-masked
@@ -143,6 +159,9 @@ class DVISOnlineOV(nn.Module):
         frame_embds_nn = seg_out["pred_embds_without_norm"].reshape(B, T, -1, C)
         mf = seg_out["mask_features"]
         mask_features = mf.reshape((B, T) + mf.shape[1:])
+        tc_full = text_classifier
+        if text_classifier.shape[0] < sum(num_templates):
+            tc_full = self.segmenter.full_classifier(text_classifier)
         track_out, new_state = self.tracker(
             frame_embds,
             mask_features,
@@ -150,13 +169,16 @@ class DVISOnlineOV(nn.Module):
             state=state,
             rng=rng,
             training=training,
-            text_classifier=text_classifier,
+            text_classifier=tc_full,
             num_templates=num_templates,
         )
         return seg_out, track_out, new_state
 
     def pool_clip(self, clip_dense, masks):
         return self.segmenter.pool_clip(clip_dense, masks)
+
+    def full_classifier(self, text_classifier):
+        return self.segmenter.full_classifier(text_classifier)
 
     def clip_logit_scale(self):
         return self.segmenter.clip_logit_scale()
@@ -200,12 +222,15 @@ class DVISOfflineOV(nn.Module):
         frame_embds = seg_out["pred_embds_without_norm"].reshape(B, T, -1, C)
         mf = seg_out["mask_features"]
         mask_features = mf.reshape((B, T) + mf.shape[1:])
+        tc_full = text_classifier
+        if text_classifier.shape[0] < sum(num_templates):
+            tc_full = self.online.full_classifier(text_classifier)
         refine_out = self.refiner(
             track_out["pred_embds"],
             frame_embds,
             mask_features,
             training=training,
-            text_classifier=text_classifier,
+            text_classifier=tc_full,
             num_templates=num_templates,
         )
         return seg_out, track_out, refine_out, new_state
@@ -222,10 +247,15 @@ class DVISOfflineOV(nn.Module):
         return self.refiner.mask_window(mask_embed, mask_features)
 
     def refine_ov_classify(self, fused, pooled, text_classifier, num_templates):
+        if text_classifier.shape[0] < sum(num_templates):
+            text_classifier = self.online.full_classifier(text_classifier)
         return self.refiner.ov_classify(fused, pooled, text_classifier, num_templates)
 
     def pool_clip(self, clip_dense, masks):
         return self.online.pool_clip(clip_dense, masks)
+
+    def full_classifier(self, text_classifier):
+        return self.online.full_classifier(text_classifier)
 
     def clip_logit_scale(self):
         return self.online.clip_logit_scale()

@@ -78,11 +78,17 @@ def expand_prompts(
 def build_text_classifier(
     encode_fn: Callable[[List[str]], np.ndarray],
     classes: Sequence[Sequence[str]],
-    void_embeds: np.ndarray,  # (V, C) learned void embeddings
+    void_embeds: "np.ndarray | None" = None,  # explicit void rows (tests);
     templates: Sequence[str] = VILD_TEMPLATES,
+    num_void: int = 1,
 ) -> Tuple[np.ndarray, List[int]]:
     """Builds the (R, C) classifier matrix: for each (class, template) the
-    mean of normalized synonym embeddings; void rows appended last."""
+    mean of normalized synonym embeddings. The void block is LEARNED model
+    state (reference void_embedding, meta_architecture_ov.py:152-157): by
+    default no rows are appended here — the model's ``full_classifier``
+    concatenates its normalized void params — but ``num_templates`` still
+    ends with the void-row count. Passing ``void_embeds`` appends explicit
+    rows instead (test fixtures)."""
     rows, num_templates = expand_prompts(classes, templates)
     embeds = []
     for prompts in rows:
@@ -90,8 +96,11 @@ def build_text_classifier(
         e = e / (np.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
         embeds.append(e.mean(axis=0))
     mat = np.stack(embeds, axis=0)
-    mat = np.concatenate([mat, np.asarray(void_embeds)], axis=0)
-    num_templates = num_templates + [len(void_embeds)]
+    if void_embeds is not None:
+        mat = np.concatenate([mat, np.asarray(void_embeds)], axis=0)
+        num_templates = num_templates + [len(void_embeds)]
+    else:
+        num_templates = num_templates + [num_void]
     return mat, num_templates
 
 
@@ -103,7 +112,7 @@ class TextClassifierCache:
         self.templates = list(templates)
         self._cache: Dict[str, Tuple[np.ndarray, List[int]]] = {}
 
-    def get(self, dataset_name: str, classes, void_embeds) -> Tuple[np.ndarray, List[int]]:
+    def get(self, dataset_name: str, classes, void_embeds=None) -> Tuple[np.ndarray, List[int]]:
         if dataset_name not in self._cache:
             self._cache[dataset_name] = build_text_classifier(
                 self.encode_fn, classes, void_embeds, self.templates

@@ -255,3 +255,52 @@ def test_text_tower_conversion_matches_torch():
     params = {"params": convert_open_clip_text(sd, layers=LAYERS, heads=HEADS)}
     got = np.asarray(enc.apply(params, jnp.asarray(tokens)))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_learned_void_embedding_in_graph():
+    """The void block of the classifier is LEARNED model state (reference
+    void_embedding, meta_architecture_ov.py:152-157): the host classifier
+    carries no void rows, full_classifier appends the normalized param, and
+    gradients reach it through the class logits."""
+    import jax
+
+    from dvis_plus_tpu.core.config import Config
+    from dvis_plus_tpu.models.meta.ov import OVSegmenter
+
+    cfg = Config()
+    cfg.model.ov.enabled = True
+    cfg.model.ov.clip_embed_dim = 16
+    cfg.model.num_classes = 2
+    cfg.model.compute_dtype = "float32"
+    cfg.model.backbone.clip_depths = (1, 1, 1, 1)
+    cfg.model.backbone.clip_dims = (8, 16, 24, 32)
+    cfg.model.pixel_decoder.conv_dim = 32
+    cfg.model.pixel_decoder.mask_dim = 32
+    cfg.model.pixel_decoder.transformer_enc_layers = 1
+    cfg.model.pixel_decoder.transformer_dim_feedforward = 64
+    cfg.model.transformer_decoder.hidden_dim = 32
+    cfg.model.transformer_decoder.num_queries = 4
+    cfg.model.transformer_decoder.nheads = 4
+    cfg.model.transformer_decoder.dim_feedforward = 64
+    cfg.model.transformer_decoder.dec_layers = 1
+    cfg.model.transformer_decoder.mask_dim = 32
+
+    model = OVSegmenter(cfg.model)
+    rng = np.random.RandomState(0)
+    K = 2
+    tc = jnp.asarray(rng.randn(K * 2, 16).astype(np.float32))  # 2 templates/class
+    nt = (2, 2, 1)  # last entry = learned void row count
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.key(0), imgs, tc, nt)
+    assert params["params"]["void_embedding"].shape == (1, 16)
+
+    def loss(p):
+        out = model.apply(p, imgs, tc, nt)
+        # push void prob down -> gradient must reach the void embedding
+        return jnp.sum(jax.nn.softmax(out["pred_logits"], -1)[..., -1])
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["params"]["void_embedding"]).sum()) > 0
+
+    out = model.apply(params, imgs, tc, nt)
+    assert out["pred_logits"].shape[-1] == K + 1

@@ -146,9 +146,9 @@ def build_classifier(cfg, dataset_name, encode_fn, void_embeds=None):
     from dvis_plus_tpu.models.ov.text import TextClassifierCache
 
     classes = vocabulary_for(dataset_name)
-    if void_embeds is None:
-        void_embeds = np.zeros((1, cfg.model.ov.clip_embed_dim), np.float32)
     cache = TextClassifierCache(encode_fn)
+    # void rows are LEARNED model params appended in-graph (full_classifier);
+    # num_templates still ends with the void-row count
     tc, nt = cache.get(dataset_name, classes, void_embeds)
     return tc, nt, classes
 
@@ -233,8 +233,11 @@ def do_eval(cfg, args, encode_fn):
     model = build_ov_model(cfg)
 
     # training vocabulary defines the seen/unseen split (reference
-    # _set_class_information, meta_architecture_ov.py:330-416)
-    train_classes = vocabulary_for(cfg.datasets.train[0])
+    # _set_class_information, meta_architecture_ov.py:330-416);
+    # ov.test2train overrides which training vocabulary a test dataset maps
+    # to (reference DATASETS.TEST2TRAIN, :260-270)
+    train_name = cfg.model.ov.test2train or cfg.datasets.train[0]
+    train_classes = vocabulary_for(train_name)
 
     results = {}
     params = None
