@@ -53,6 +53,11 @@ def main():
     parser.add_argument("--input", required=True, help="directory of frames")
     parser.add_argument("--output", required=True)
     parser.add_argument("--windows-size", type=int, default=None)
+    parser.add_argument("--chunk-size", type=int, default=0,
+                        help="long-video mode: frames per host chunk; the tracker "
+                             "carry persists across chunks (reference "
+                             "demo_long_video.py keep=True protocol) so memory "
+                             "stays constant in video length")
     parser.add_argument("--confidence-threshold", type=float, default=0.3)
     parser.add_argument("--vocabulary", default=None, help="OV: comma-separated classes")
     parser.add_argument("--thing-classes", default=None,
@@ -142,6 +147,75 @@ def main():
         "video_id": 0,
     }
     mapper = YTVISDatasetMapper(cfg, is_train=False)
+
+    arch = cfg.model.meta_architecture
+    if args.chunk_size and arch in ("dvis_online", "dvis_online_ov") and not ov_mode:
+        # long-video streaming: chunks of frames, tracker carry kept alive
+        # (reference demo_long_video.py:120-126 keep protocol)
+        from dvis_plus_tpu.engine.inference import _pad_to
+        from dvis_plus_tpu.models.tracker.referring_tracker import init_tracker_state
+        import jax as _jax
+
+        W_sz = cfg.test.window_size
+        td = cfg.model.transformer_decoder
+        C2 = td.hidden_dim * (2 if td.reid_branch else 1)
+        state = init_tracker_state(1, td.num_queries, C2)
+
+        @_jax.jit
+        def win(params, imgs, state):
+            seg_out, track_out, new_state = model.apply(params, imgs[None], state=state)
+            return (
+                track_out["pred_logits"][0],
+                track_out["pred_masks"][0],
+                new_state,
+            )
+
+        t0 = time.time()
+        os.makedirs(args.output, exist_ok=True)
+        chunk = max(args.chunk_size, W_sz)
+        names = None
+        for ds in cfg.datasets.test:
+            if is_registered(ds):
+                names = get_metadata(ds).thing_classes
+                break
+        if args.vocabulary:
+            names = [c.strip() for c in args.vocabulary.split(",")]
+        names = names or [str(i) for i in range(cfg.model.num_classes)]
+        total = 0
+        for start in range(0, len(frame_files), chunk):
+            sub = dict(record, file_names=frame_files[start : start + chunk],
+                       length=len(frame_files[start : start + chunk]))
+            sample = mapper(sub, seed=0)
+            images = sample["images"]
+            Tc = images.shape[0]
+            n_w = (Tc + W_sz - 1) // W_sz
+            padded = _pad_to(images, n_w * W_sz)
+            lg_l, mk_l = [], []
+            for i in range(n_w):
+                lg, mk, state = win(params, jnp.asarray(padded[i * W_sz : (i + 1) * W_sz]), state)
+                lg_l.append(lg)
+                mk_l.append(mk)
+            logits = jnp.concatenate(lg_l, 0)[:Tc].mean(axis=0)
+            masks = jnp.concatenate(mk_l, 1)[:, :Tc]
+            h, w = [int(v) for v in sample["image_size"]]
+            res = inference_video(
+                logits, masks, img_size=(h, w), output_size=(H0, W0),
+                padded_size=images.shape[1:3], topk=cfg.test.max_num,
+            )
+            scores = np.asarray(res.scores)
+            labels = np.asarray(res.labels)
+            out_masks = np.asarray(res.masks)
+            for t in range(Tc):
+                path = frame_files[start + t]
+                frame = cv2.imread(path)[:, :, ::-1]
+                vis = visualize(frame, out_masks[:, t], scores, labels,
+                                np.arange(len(scores)), names, args.confidence_threshold)
+                cv2.imwrite(os.path.join(args.output, os.path.basename(path)), vis[:, :, ::-1])
+            total += Tc
+        dt = time.time() - t0
+        print(f"{total} frames in {dt:.1f}s ({total/dt:.2f} fps), chunked x{chunk} with carry")
+        return
+
     sample = mapper(record, seed=0)
     images = sample["images"]
 
