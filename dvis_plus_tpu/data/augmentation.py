@@ -253,6 +253,58 @@ class FixedSizeCropClip(ClipAugmentation):
         return PadCropTransform(y0, x0, self.crop_h, self.crop_w, self.pad_value)
 
 
+class ColorJitterTransform(ClipTransform):
+    """Image-only linear intensity transform (masks untouched)."""
+
+    def __init__(self, scale: float = 1.0, offset: float = 0.0, saturation: float = 1.0):
+        self.scale = scale
+        self.offset = offset
+        self.saturation = saturation
+
+    def apply_image(self, img):
+        out = img.astype(np.float32) * self.scale + self.offset
+        if self.saturation != 1.0:
+            gray = out.mean(axis=-1, keepdims=True)
+            out = gray + (out - gray) * self.saturation
+        return np.clip(out, 0, 255).astype(img.dtype)
+
+    def apply_mask(self, mask):
+        return mask
+
+
+class RandomBrightness(ClipAugmentation):
+    """d2 T.RandomBrightness(lo, hi): multiply intensities by U(lo, hi)."""
+
+    def __init__(self, lo: float = 0.9, hi: float = 1.1):
+        self.lo, self.hi = lo, hi
+
+    def sample(self, h, w, rng):
+        return ColorJitterTransform(scale=rng.uniform(self.lo, self.hi))
+
+
+class RandomContrast(ClipAugmentation):
+    """d2 T.RandomContrast: blend with the mean intensity."""
+
+    def __init__(self, lo: float = 0.9, hi: float = 1.1):
+        self.lo, self.hi = lo, hi
+
+    def sample(self, h, w, rng):
+        f = rng.uniform(self.lo, self.hi)
+        # out = mean + f * (img - mean) == img * f + mean * (1 - f); the mean
+        # is per-clip-constant enough for jitter purposes (128 midpoint)
+        return ColorJitterTransform(scale=f, offset=128.0 * (1.0 - f))
+
+
+class RandomSaturation(ClipAugmentation):
+    """d2 T.RandomSaturation: blend with grayscale."""
+
+    def __init__(self, lo: float = 0.9, hi: float = 1.1):
+        self.lo, self.hi = lo, hi
+
+    def sample(self, h, w, rng):
+        return ColorJitterTransform(saturation=rng.uniform(self.lo, self.hi))
+
+
 def sample_clip_transforms(augs, h: int, w: int, rng: random.Random):
     """Sample the chain sequentially, threading the evolving image size
     (LSJ's crop must see the resized size, not the original)."""
@@ -271,6 +323,14 @@ def build_pseudo_augmentation(cfg_input) -> List[ClipAugmentation]:
     augs: List[ClipAugmentation] = []
     if cfg_input.random_flip != "none":
         augs.append(RandomFlip())
+    # PSEUDO.AUGMENTATIONS color jitter (reference augmentation.py:534-539)
+    extra = set(cfg_input.augmentations or ())
+    if "brightness" in extra:
+        augs.append(RandomBrightness())
+    if "contrast" in extra:
+        augs.append(RandomContrast())
+    if "saturation" in extra:
+        augs.append(RandomSaturation())
     if cfg_input.lsj_aug:
         size = cfg_input.max_size_train
         augs.append(ResizeScaleClip(0.1, 2.0, size, size))

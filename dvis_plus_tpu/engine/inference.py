@@ -116,20 +116,29 @@ def run_vps_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
         masks = masks[:, :T]
         h, w = [int(v) for v in sample["image_size"]]
         out_size = (int(sample["height"]), int(sample["width"]))
-        scores, labels, keep, masks_up, mask_ids = panoptic_probs(
-            jnp.asarray(logits),
-            jnp.asarray(masks),
-            img_size=(h, w),
-            output_size=out_size,
-            padded_size=(H, W),
-            object_mask_threshold=cfg.test.object_mask_threshold,
-        )
+        # time-chunked upsampling: the (Q, T, out_h, out_w) tensor would be
+        # O(video) HBM at 720p — page W_sz frames at a time (the reference
+        # wraps this in retry_if_cuda_oom instead, meta_architecture.py:704)
+        sc_l, lb_l, kp_l, mu_l, mi_l = None, None, None, [], []
+        for s0 in range(0, T, W_sz):
+            chunk = jnp.asarray(np.asarray(masks[:, s0 : s0 + W_sz]))
+            scores, labels, keep, masks_up, mask_ids = panoptic_probs(
+                jnp.asarray(logits),
+                chunk,
+                img_size=(h, w),
+                output_size=out_size,
+                padded_size=(H, W),
+                object_mask_threshold=cfg.test.object_mask_threshold,
+            )
+            sc_l, lb_l, kp_l = scores, labels, keep  # per-query, frame-indep
+            mu_l.append(np.asarray(masks_up, np.float16))
+            mi_l.append(np.asarray(mask_ids))
         panoptic_seg, segments_infos, _ = panoptic_segments_host(
-            np.asarray(scores),
-            np.asarray(labels),
-            np.asarray(keep),
-            np.asarray(masks_up),
-            np.asarray(mask_ids),
+            np.asarray(sc_l),
+            np.asarray(lb_l),
+            np.asarray(kp_l),
+            np.concatenate(mu_l, axis=1),
+            np.concatenate(mi_l, axis=0),
             num_thing_classes=num_thing_classes,
             overlap_threshold=cfg.test.overlap_threshold,
         )
@@ -154,15 +163,17 @@ def run_vss_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
         logits, masks = video_logits_masks(cfg, model, params, images, window_fns, W_sz)
         masks = masks[:, :T]
         h, w = [int(v) for v in sample["image_size"]]
-        sem = semantic_inference(
-            jnp.asarray(logits),
-            jnp.asarray(masks),
-            img_size=(h, w),
-            output_size=(int(sample["height"]), int(sample["width"])),
-            padded_size=(H, W),
-        )
+        sem_l = []
+        for s0 in range(0, T, W_sz):  # time-chunked upsampling (see VPS note)
+            sem_l.append(np.asarray(semantic_inference(
+                jnp.asarray(logits),
+                jnp.asarray(np.asarray(masks[:, s0 : s0 + W_sz])),
+                img_size=(h, w),
+                output_size=(int(sample["height"]), int(sample["width"])),
+                padded_size=(H, W),
+            )))
         evaluator.process(
-            sample.get("video_id", 0), sample["file_names"], np.asarray(sem)
+            sample.get("video_id", 0), sample["file_names"], np.concatenate(sem_l, 0)
         )
 
 

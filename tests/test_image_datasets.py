@@ -169,3 +169,25 @@ def test_coco_image_pretraining_train_steps(synth_coco, tmp_path):
         state, metrics = train_step(state, batch, jax.random.key(1))
         assert np.isfinite(float(metrics["total_loss"]))
     assert int(state.step) == 2
+
+
+def test_color_jitter_augs():
+    import random
+
+    from dvis_plus_tpu.data.augmentation import (
+        RandomBrightness,
+        RandomContrast,
+        RandomSaturation,
+    )
+
+    rng = random.Random(0)
+    img = (np.ones((8, 8, 3)) * 100).astype(np.uint8)
+    mask = np.ones((8, 8), np.uint8)
+    for aug in (RandomBrightness(1.2, 1.2), RandomContrast(0.5, 0.5),
+                RandomSaturation(0.0, 0.0)):
+        t = aug.sample(8, 8, rng)
+        out = t.apply_image(img)
+        assert out.shape == img.shape and out.dtype == img.dtype
+        np.testing.assert_array_equal(t.apply_mask(mask), mask)
+    t = RandomBrightness(1.2, 1.2).sample(8, 8, rng)
+    assert t.apply_image(img).max() == 120
