@@ -142,7 +142,13 @@ def ms_deform_attn(
     assert attention_weights.shape == (B, Lq, M, L, P)
     assert sum(h * w for h, w in spatial_shapes) == Len_in
 
-    out = jnp.zeros((B, Lq, M, D), dtype=value.dtype)
+    # head-major layout throughout: the gathered tensor (B, M, Lq, P*4, D) is
+    # ~100 MB at 720p — transposing it to query-major before weighting costs
+    # more than the gather itself (measured v5e: take 4.0 ms, +transpose
+    # 7.8 ms, +transpose+einsum 19.9 ms vs batched-dot in gather layout
+    # 6.6 ms). Weight with a batched (1, P*4) @ (P*4, D) dot in the gather
+    # layout and only transpose the small (B, M, Lq, D) output at the end.
+    out = jnp.zeros((B, M, Lq, D), dtype=value.dtype)
     start = 0
     for lid, (H, W) in enumerate(spatial_shapes):
         value_l = jax.lax.dynamic_slice_in_dim(value, start, H * W, axis=1)
@@ -178,14 +184,17 @@ def ms_deform_attn(
             jnp.arange(B)[:, None, None, None] * M + jnp.arange(M)[None, :, None, None]
         ) * ((H + 1) * (W + 1))
         g = jnp.take(tab, (idx + base).reshape(-1), axis=0)
-        g = g.reshape(B, M, Lq, P, 4, D).transpose(0, 2, 1, 3, 4, 5)  # (B,Lq,M,P,4,D)
+        g = g.reshape(B, M, Lq, P * 4, D)  # gather layout, no transpose
 
         cw = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
         cw = cw * inb[..., None].astype(cw.dtype)
         aw = attention_weights[:, :, :, lid].astype(cdt)  # (B, Lq, M, P)
         wts = (cw * aw[..., None]).astype(g.dtype)  # (B, Lq, M, P, 4)
-        out = out + jnp.einsum(
-            "bqmpcd,bqmpc->bqmd", g, wts, preferred_element_type=value.dtype
-        )
+        w = wts.transpose(0, 2, 1, 3, 4).reshape(B, M, Lq, 1, P * 4)  # small
+        o = jax.lax.dot_general(
+            w, g, (((4,), (3,)), ((0, 1, 2), (0, 1, 2))),
+            preferred_element_type=value.dtype,
+        )  # (B, M, Lq, 1, D)
+        out = out + o.reshape(B, M, Lq, D)
 
-    return out.reshape(B, Lq, M * D)
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
