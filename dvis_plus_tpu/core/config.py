@@ -83,6 +83,8 @@ class PixelDecoderConfig:
     # deformable-attention value dtype: fp32 matches the reference's fp32
     # island; bfloat16 halves gather bytes for ~20% faster encoder layers
     msdeform_value_dtype: str = "float32"
+    island_dtype: str = "float32"  # encoder Dense/LN compute dtype; bfloat16
+    # = serving fast path (reference island is fp32, autocast disabled)
     # exact (XLA flat gather) | pallas_local (in-kernel-DMA local-window
     # kernel, offsets clamped to +-8 px). Measured v5e, stride-8 level pair:
     # pallas 28.8 ms (bf16 MXU) / 46.4 ms (fp32-exact) vs exact-op fp32

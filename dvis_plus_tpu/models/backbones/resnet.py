@@ -13,7 +13,7 @@ Matching that structure keeps torch->jax weight ports exact. On TPU:
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -48,6 +48,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     stride_in_1x1: bool = True  # caffe/d2 style: stride lives in the 1x1
     dilation: int = 1
+    dtype: Optional[jnp.dtype] = None  # conv compute dtype (params fp32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -56,23 +57,23 @@ class Bottleneck(nn.Module):
         if x.shape[-1] != self.out_channels or self.stride != 1:
             shortcut = nn.Conv(
                 self.out_channels, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, name="shortcut",
+                use_bias=False, dtype=self.dtype, name="shortcut",
             )(x)
             shortcut = FrozenBN(self.out_channels, name="shortcut_norm")(shortcut)
 
         y = nn.Conv(
             self.bottleneck_channels, (1, 1), strides=(s1, s1), use_bias=False,
-            name="conv1",
+            dtype=self.dtype, name="conv1",
         )(x)
         y = nn.relu(FrozenBN(self.bottleneck_channels, name="norm1")(y))
         y = nn.Conv(
             self.bottleneck_channels, (3, 3), strides=(s3, s3),
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation, self.dilation)] * 2, use_bias=False,
-            name="conv2",
+            dtype=self.dtype, name="conv2",
         )(y)
         y = nn.relu(FrozenBN(self.bottleneck_channels, name="norm2")(y))
-        y = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
         y = FrozenBN(self.out_channels, name="norm3")(y)
         return nn.relu(y + shortcut)
 
@@ -84,13 +85,14 @@ class ResNet(nn.Module):
     width: int = 64
     stride_in_1x1: bool = True
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         # stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool
         y = nn.Conv(
             self.width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, name="stem_conv1",
+            use_bias=False, dtype=self.dtype, name="stem_conv1",
         )(x)
         y = nn.relu(FrozenBN(self.width, name="stem_norm1")(y))
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -106,6 +108,7 @@ class ResNet(nn.Module):
                     bottleneck_channels=bottleneck,
                     stride=stride if block_idx == 0 else 1,
                     stride_in_1x1=self.stride_in_1x1,
+                    dtype=self.dtype,
                     name=f"res{stage_idx + 2}_block{block_idx}",
                 )(y)
             outs[f"res{stage_idx + 2}"] = y

@@ -36,6 +36,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int
     qkv_bias: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -45,7 +46,7 @@ class WindowAttention(nn.Module):
         Dh = C // H
         ws = self.window_size
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(B_, N, 3, H, Dh), 3, axis=2)
         q = q[:, :, 0].transpose(0, 2, 1, 3)  # (B_, H, N, Dh)
         k = k[:, :, 0].transpose(0, 2, 1, 3)
@@ -67,7 +68,7 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(B_, H, N, N)
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B_, N, C)
-        return nn.Dense(C, name="proj")(out)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
 def _window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
@@ -103,6 +104,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_path: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
@@ -111,7 +113,7 @@ class SwinBlock(nn.Module):
         shift = self.shift_size if ws < min(H, W) else 0
         shortcut = x
 
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         pad_b = (ws - H % ws) % ws
         pad_r = (ws - W % ws) % ws
         x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
@@ -125,7 +127,7 @@ class SwinBlock(nn.Module):
 
         wins = _window_partition(x, ws)
         wins = WindowAttention(
-            self.dim, self.num_heads, ws, self.qkv_bias, name="attn"
+            self.dim, self.num_heads, ws, self.qkv_bias, self.dtype, name="attn"
         )(wins, mask)
         x = _window_reverse(wins, ws, B, Hp, Wp)
 
@@ -134,10 +136,10 @@ class SwinBlock(nn.Module):
         x = x[:, :H, :W]
 
         x = shortcut + self._drop_path(x, training)
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        y = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(C, name="mlp_fc2")(y)
+        y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
         return x + self._drop_path(y, training)
 
     def _drop_path(self, x: jnp.ndarray, training: bool) -> jnp.ndarray:
@@ -151,6 +153,7 @@ class SwinBlock(nn.Module):
 
 class PatchMerging(nn.Module):
     dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -161,8 +164,8 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
 class SwinTransformer(nn.Module):
@@ -175,6 +178,8 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.3
     patch_size: int = 4
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 = AMP-style
+    # serving; params stay fp32; attention softmax stays fp32 regardless)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> Dict[str, jnp.ndarray]:
@@ -185,9 +190,10 @@ class SwinTransformer(nn.Module):
         if pad_b or pad_r:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         x = nn.Conv(
-            self.embed_dim, (ps, ps), strides=(ps, ps), name="patch_embed"
+            self.embed_dim, (ps, ps), strides=(ps, ps), dtype=self.dtype,
+            name="patch_embed"
         )(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
         outs: Dict[str, jnp.ndarray] = {}
@@ -203,14 +209,15 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
                     drop_path=float(dpr[blk_idx]),
+                    dtype=self.dtype,
                     name=f"stage{s}_block{b}",
                 )(x, training)
                 blk_idx += 1
             name = f"res{s + 2}"
             if name in self.out_features:
-                outs[name] = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{s}")(x)
+                outs[name] = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{s}")(x)
             if s < len(self.depths) - 1:
-                x = PatchMerging(dim, name=f"downsample{s}")(x)
+                x = PatchMerging(dim, dtype=self.dtype, name=f"downsample{s}")(x)
                 dim *= 2
         return outs
 
@@ -223,13 +230,14 @@ _SWIN_VARIANTS = {
 }
 
 
-def build_swin(cfg: BackboneConfig) -> SwinTransformer:
+def build_swin(cfg: BackboneConfig, dtype=None) -> SwinTransformer:
     kw = dict(_SWIN_VARIANTS[cfg.name]) if cfg.name in _SWIN_VARIANTS else dict(
         embed_dim=cfg.swin_embed_dim,
         depths=cfg.swin_depths,
         num_heads=cfg.swin_num_heads,
     )
     return SwinTransformer(
+        dtype=dtype,
         window_size=cfg.swin_window_size,
         mlp_ratio=cfg.swin_mlp_ratio,
         qkv_bias=cfg.swin_qkv_bias,

@@ -44,7 +44,7 @@ class LayerScale(nn.Module):
     @nn.compact
     def __call__(self, x):
         gamma = self.param("gamma", nn.initializers.constant(self.init), (self.dim,))
-        return x * gamma
+        return x * gamma.astype(x.dtype)
 
 
 class ViTBlock(nn.Module):
@@ -56,13 +56,14 @@ class ViTBlock(nn.Module):
     def __call__(self, x):
         from dvis_plus_tpu.models.segmenter.transformer_decoder import MultiHeadAttention
 
-        h = nn.LayerNorm(name="norm1")(x)
+        d = x.dtype  # AMP follows the caller's cast (params fp32)
+        h = nn.LayerNorm(dtype=d, name="norm1")(x)
         h = MultiHeadAttention(self.dim, self.num_heads, name="attn")(h, h, h)
         x = x + LayerScale(self.dim, name="ls1")(h)
-        h = nn.LayerNorm(name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.LayerNorm(dtype=d, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=d, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        h = nn.Dense(self.dim, dtype=d, name="mlp_fc2")(h)
         return x + LayerScale(self.dim, name="ls2")(h)
 
 
@@ -74,12 +75,14 @@ class DinoViT(nn.Module):
     num_heads: int = 16
     patch_size: int = 16
     pretrain_grid: int = 37  # 518 / 14 pretraining grid for pos interpolation
+    dtype: object = None  # compute dtype (params fp32)
 
     def setup(self):
         self.patch_embed = nn.Conv(
             self.embed_dim,
             (self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
             name="patch_embed",
         )
         self.cls_token = self.param(
@@ -128,7 +131,7 @@ class SpatialPriorModule(nn.Module):
     def __call__(self, x):
         def conv_bn_relu(y, ch, stride, name):
             y = nn.Conv(ch, (3, 3), strides=(stride, stride), padding=[(1, 1), (1, 1)],
-                        use_bias=False, name=f"{name}_conv")(y)
+                        use_bias=False, dtype=x.dtype, name=f"{name}_conv")(y)
             y = FrozenBN(ch, name=f"{name}_bn")(y)
             return nn.relu(y)
 
@@ -140,7 +143,7 @@ class SpatialPriorModule(nn.Module):
         c2 = conv_bn_relu(c1, 2 * self.inplanes, 2, "conv2")  # s8
         c3 = conv_bn_relu(c2, 4 * self.inplanes, 2, "conv3")  # s16
         c4 = conv_bn_relu(c3, 4 * self.inplanes, 2, "conv4")  # s32
-        proj = lambda t, n: nn.Conv(self.embed_dim, (1, 1), name=n)(t)
+        proj = lambda t, n: nn.Conv(self.embed_dim, (1, 1), dtype=x.dtype, name=n)(t)
         return proj(c1, "fc1"), proj(c2, "fc2"), proj(c3, "fc3"), proj(c4, "fc4")
 
 
@@ -158,18 +161,20 @@ class DeformAttnModule(nn.Module):
         B, Lq, C = query.shape
         H = self.num_heads
         val_dim = int(C * self.ratio)
-        value = nn.Dense(val_dim, name="value_proj")(feat)
+        value = nn.Dense(val_dim, dtype=query.dtype, name="value_proj")(feat)
         value = value.reshape(B, feat.shape[1], H, val_dim // H)
         offsets = nn.Dense(
             H * self.n_levels * self.n_points * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=_offset_grid_bias_init(H, self.n_levels, self.n_points),
+            dtype=query.dtype,
             name="sampling_offsets",
         )(query).reshape(B, Lq, H, self.n_levels, self.n_points, 2)
         attn = nn.Dense(
             H * self.n_levels * self.n_points,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=query.dtype,
             name="attention_weights",
         )(query).reshape(B, Lq, H, self.n_levels * self.n_points)
         attn = jax.nn.softmax(attn, axis=-1).reshape(B, Lq, H, self.n_levels, self.n_points)
@@ -179,7 +184,7 @@ class DeformAttnModule(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
         out = ms_deform_attn(value, spatial_shapes, loc, attn)
-        return nn.Dense(C, name="output_proj")(out)
+        return nn.Dense(C, dtype=query.dtype, name="output_proj")(out.astype(query.dtype))
 
 
 class ConvFFN(nn.Module):
@@ -192,7 +197,8 @@ class ConvFFN(nn.Module):
     @nn.compact
     def __call__(self, x):
         B = x.shape[0]
-        y = nn.Dense(self.hidden, name="fc1")(x)
+        d = x.dtype
+        y = nn.Dense(self.hidden, dtype=d, name="fc1")(x)
         # depthwise conv applied per level
         parts = []
         start = 0
@@ -200,13 +206,13 @@ class ConvFFN(nn.Module):
             seg = y[:, start : start + h * w].reshape(B, h, w, self.hidden)
             seg = nn.Conv(
                 self.hidden, (3, 3), padding=[(1, 1), (1, 1)],
-                feature_group_count=self.hidden, name=f"dw_{li}",
+                feature_group_count=self.hidden, dtype=d, name=f"dw_{li}",
             )(seg)
             parts.append(seg.reshape(B, h * w, self.hidden))
             start += h * w
         y = jnp.concatenate(parts, axis=1)
         y = nn.gelu(y, approximate=False)
-        return nn.Dense(self.dim, name="fc2")(y)
+        return nn.Dense(self.dim, dtype=d, name="fc2")(y)
 
 
 class Extractor(nn.Module):
@@ -222,14 +228,14 @@ class Extractor(nn.Module):
         attn = DeformAttnModule(
             self.dim, self.num_heads, self.n_points, n_levels=1, name="attn"
         )(
-            nn.LayerNorm(name="query_norm")(query),
+            nn.LayerNorm(dtype=query.dtype, name="query_norm")(query),
             reference_points,
-            nn.LayerNorm(name="feat_norm")(feat),
+            nn.LayerNorm(dtype=feat.dtype, name="feat_norm")(feat),
             [feat_shape],
         )
         query = query + attn
         if self.with_cffn:
-            h = nn.LayerNorm(name="ffn_norm")(query)
+            h = nn.LayerNorm(dtype=query.dtype, name="ffn_norm")(query)
             query = query + ConvFFN(
                 self.dim, int(self.dim * self.cffn_ratio), self.shapes, name="ffn"
             )(h)
@@ -246,13 +252,13 @@ class Injector(nn.Module):
         attn = DeformAttnModule(
             self.dim, self.num_heads, self.n_points, n_levels=len(shapes), name="attn"
         )(
-            nn.LayerNorm(name="query_norm")(query),
+            nn.LayerNorm(dtype=query.dtype, name="query_norm")(query),
             reference_points,
-            nn.LayerNorm(name="feat_norm")(feat),
+            nn.LayerNorm(dtype=feat.dtype, name="feat_norm")(feat),
             shapes,
         )
         gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
-        return query + gamma * attn
+        return query + gamma.astype(query.dtype) * attn.astype(query.dtype)
 
 
 class ViTAdapter(nn.Module):
@@ -271,13 +277,14 @@ class ViTAdapter(nn.Module):
     use_injector: bool = False  # shipped config uses the Efficient (no-inject) blocks
     pretrain_grid: int = 37  # DINOv2 518/14 pos-embed grid
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+    dtype: object = None  # compute dtype (params fp32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         B, H0, W0, _ = x.shape
         vit = DinoViT(
             self.embed_dim, self.depth, self.num_heads, self.patch_size,
-            pretrain_grid=self.pretrain_grid, name="vit"
+            pretrain_grid=self.pretrain_grid, dtype=self.dtype, name="vit"
         )
         tokens, cls, Hp, Wp = vit.prepare_tokens(x)
         # frozen trunk (reference freeze_backbone; optimizer-masked too)
@@ -297,13 +304,9 @@ class ViTAdapter(nn.Module):
             "level_embed", nn.initializers.normal(1.0), (3, self.embed_dim)
         )
         flat = lambda t: t.reshape(B, -1, self.embed_dim)
+        le = level_embed.astype(c2.dtype)
         c = jnp.concatenate(
-            [
-                flat(c2) + level_embed[0],
-                flat(c3) + level_embed[1],
-                flat(c4) + level_embed[2],
-            ],
-            axis=1,
+            [flat(c2) + le[0], flat(c3) + le[1], flat(c4) + le[2]], axis=1
         )
 
         refs_c = _reference_points(shapes)  # queries = spatial tokens, 3 levels
@@ -338,7 +341,7 @@ class ViTAdapter(nn.Module):
         c3o = c[:, n2 : n2 + n3].reshape(B, *shapes[1], self.embed_dim)
         c4o = c[:, n2 + n3 :].reshape(B, *shapes[2], self.embed_dim)
         c1o = nn.ConvTranspose(
-            self.embed_dim, (2, 2), strides=(2, 2), name="up"
+            self.embed_dim, (2, 2), strides=(2, 2), dtype=self.dtype, name="up"
         )(c2o)
         c1o = c1o + jax.image.resize(c1, c1o.shape, "bilinear")
 
@@ -359,8 +362,9 @@ class ViTAdapter(nn.Module):
         return {k: v for k, v in f.items() if k in self.out_features}
 
 
-def build_vit_adapter(cfg: BackboneConfig) -> ViTAdapter:
+def build_vit_adapter(cfg: BackboneConfig, dtype=None) -> ViTAdapter:
     return ViTAdapter(
+        dtype=dtype,
         embed_dim=cfg.vit_embed_dim,
         depth=cfg.vit_depth,
         num_heads=cfg.vit_num_heads,

@@ -170,6 +170,7 @@ class DAQOffline(nn.Module):
         from dvis_plus_tpu.models.refiner.temporal_refiner import TemporalRefiner
 
         self.refiner = TemporalRefiner(
+            dtype=jnp.dtype(self.cfg.compute_dtype),
             num_classes=self.cfg.num_classes,
             hidden_dim=td.hidden_dim,
             feedforward_dim=self.cfg.refiner.feedforward_dim,

@@ -53,6 +53,7 @@ class DVISOffline(nn.Module):
         td = self.cfg.transformer_decoder
         dim = td.hidden_dim * (2 if td.reid_branch else 1)
         self.refiner = TemporalRefiner(
+            dtype=jnp.dtype(self.cfg.compute_dtype),
             num_classes=self.cfg.num_classes,
             hidden_dim=dim,
             feedforward_dim=self.cfg.refiner.feedforward_dim,

@@ -55,6 +55,7 @@ class OVSegmenter(nn.Module):
             n_points=self.cfg.pixel_decoder.num_points,
             transformer_in_features=self.cfg.pixel_decoder.transformer_in_features,
             value_dtype=self.cfg.pixel_decoder.msdeform_value_dtype,
+            island_dtype=self.cfg.pixel_decoder.island_dtype,
             impl=self.cfg.pixel_decoder.msdeform_impl,
         )
         # learned void embedding rows (one per training dataset; reference
@@ -193,6 +194,7 @@ class DVISOfflineOV(nn.Module):
         self.online = DVISOnlineOV(self.cfg)
         td = self.cfg.transformer_decoder
         self.refiner = TemporalRefiner(
+            dtype=jnp.dtype(self.cfg.compute_dtype),
             num_classes=0,
             hidden_dim=td.hidden_dim,
             feedforward_dim=self.cfg.refiner.feedforward_dim,

@@ -41,6 +41,7 @@ class VideoMaskFormer(nn.Module):
             n_points=self.cfg.pixel_decoder.num_points,
             transformer_in_features=self.cfg.pixel_decoder.transformer_in_features,
             value_dtype=self.cfg.pixel_decoder.msdeform_value_dtype,
+            island_dtype=self.cfg.pixel_decoder.island_dtype,
         )
         td = self.cfg.transformer_decoder
         self.transformer_decoder = ClipMaskedTransformerDecoder(

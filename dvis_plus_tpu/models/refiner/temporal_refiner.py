@@ -51,13 +51,14 @@ class TemporalConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # x: (B', T, C) — conv over T
+        # x: (B', T, C) — conv over T; AMP follows the caller's cast
+        d = x.dtype
         y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
-        y = nn.Conv(self.dim, (5,), padding="VALID", name="conv1")(y)
+        y = nn.Conv(self.dim, (5,), padding="VALID", dtype=d, name="conv1")(y)
         y = nn.relu(y)
         y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
-        y = nn.Conv(self.dim, (3,), padding="VALID", name="conv2")(y)
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + y)
+        y = nn.Conv(self.dim, (3,), padding="VALID", dtype=d, name="conv2")(y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=d, name="norm")(x + y)
 
 
 class TemporalRefiner(nn.Module):
@@ -70,6 +71,7 @@ class TemporalRefiner(nn.Module):
     window: int = 5  # eval-time mask-head chunking
     ov: bool = False  # CLIP class head (reference TemporalRefiner_OV)
     clip_embed_dim: int = 768
+    dtype: object = None  # compute dtype of the head layers (params fp32)
 
     def setup(self):
         C = self.hidden_dim
@@ -92,12 +94,12 @@ class TemporalRefiner(nn.Module):
             FFNLayer(C, self.feedforward_dim, name=f"ffn_{i}")
             for i in range(self.num_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
         self.mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
-        self.activation_proj = nn.Dense(1, name="activation_proj")
+        self.activation_proj = nn.Dense(1, dtype=self.dtype, name="activation_proj")
         if self.ov:
-            self.maskpool_norm = nn.LayerNorm(epsilon=1e-5, name="maskpool_norm")
-            self.maskpool_proj = nn.Dense(C, name="maskpool_proj")
+            self.maskpool_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="maskpool_norm")
+            self.maskpool_proj = nn.Dense(C, dtype=self.dtype, name="maskpool_proj")
             self.class_embed_ov = MLP(
                 C, self.clip_embed_dim, num_layers=3, name="class_embed_ov"
             )
@@ -105,7 +107,7 @@ class TemporalRefiner(nn.Module):
                 "logit_scale", nn.initializers.constant(jnp.log(1 / 0.07)), ()
             )
         else:
-            self.class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
+            self.class_embed = nn.Dense(self.num_classes + 1, dtype=self.dtype, name="class_embed")
 
     # ------------------------------------------------------------------
     # transformer body (shared by training forward and eval embed pass)

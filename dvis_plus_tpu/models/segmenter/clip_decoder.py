@@ -61,7 +61,7 @@ class ClipMaskedTransformerDecoder(nn.Module):
         srcs, poss, sizes = [], [], []
         for i, x in enumerate(multi_scale):
             _, Hl, Wl, _ = x.shape
-            proj = x if x.shape[-1] == C else nn.Conv(C, (1, 1), name=f"input_proj_{i}")(x)
+            proj = x if x.shape[-1] == C else nn.Conv(C, (1, 1), dtype=x.dtype, name=f"input_proj_{i}")(x)
             # (B, T*Hl*Wl, C) token stack per level
             srcs.append(
                 proj.reshape(B, T * Hl * Wl, C) + level_embed[i][None, None].astype(dtype)
@@ -71,8 +71,8 @@ class ClipMaskedTransformerDecoder(nn.Module):
             sizes.append((Hl, Wl))
 
         mf = mask_features.reshape(B, T, *mask_features.shape[1:])  # (B,T,H4,W4,Cm)
-        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
-        class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="decoder_norm")
+        class_embed = nn.Dense(self.num_classes + 1, dtype=dtype, name="class_embed")
         mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
 
         def prediction_heads(output, attn_size):

@@ -56,8 +56,11 @@ class MSDeformAttnLayer(nn.Module):
     n_points: int = 4
     value_dtype: str = "float32"  # bfloat16 halves gather bytes (~20% faster
     # per layer on v5e) at a small numeric cost; fp32 matches the reference
+    island_dtype: str = "float32"  # compute dtype of the encoder Dense/LN
+    # stack; float32 mirrors the reference @autocast(enabled=False) island,
+    # bfloat16 is the serving fast path (documented deviation)
     impl: str = "exact"  # exact (XLA flat-gather) | pallas_local (clamped
-    # local-window kernel, ~1.8x on v5e; offsets clamped to +-16 px)
+    # local-window kernel; offsets clamped to +-radius px of the reference)
 
     @nn.compact
     def __call__(
@@ -69,21 +72,24 @@ class MSDeformAttnLayer(nn.Module):
     ) -> jnp.ndarray:
         B, Len, C = src.shape
         H = self.n_heads
+        cdt = jnp.dtype(self.island_dtype)
         q = src + pos[None]
 
-        value = nn.Dense(self.d_model, name="value_proj")(src)
+        value = nn.Dense(self.d_model, dtype=cdt, name="value_proj")(src)
         value = value.reshape(B, Len, H, self.d_model // H)
         value = value.astype(jnp.dtype(self.value_dtype))
         offsets = nn.Dense(
             H * self.n_levels * self.n_points * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=_offset_grid_bias_init(H, self.n_levels, self.n_points),
+            dtype=cdt,
             name="sampling_offsets",
         )(q).reshape(B, Len, H, self.n_levels, self.n_points, 2)
         attn = nn.Dense(
             H * self.n_levels * self.n_points,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=cdt,
             name="attention_weights",
         )(q).reshape(B, Len, H, self.n_levels * self.n_points)
         attn = jax.nn.softmax(attn, axis=-1).reshape(
@@ -114,13 +120,13 @@ class MSDeformAttnLayer(nn.Module):
             ).astype(src.dtype)
         else:
             out = ms_deform_attn(value, spatial_shapes, locations, attn).astype(src.dtype)
-        out = nn.Dense(self.d_model, name="output_proj")(out)
+        out = nn.Dense(self.d_model, dtype=cdt, name="output_proj")(out.astype(cdt))
 
-        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + out)
-        ffn = nn.Dense(self.d_ffn, name="linear1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=cdt, name="norm1")(src + out)
+        ffn = nn.Dense(self.d_ffn, dtype=cdt, name="linear1")(src)
         ffn = nn.relu(ffn)
-        ffn = nn.Dense(self.d_model, name="linear2")(ffn)
-        src = nn.LayerNorm(epsilon=1e-5, name="norm2")(src + ffn)
+        ffn = nn.Dense(self.d_model, dtype=cdt, name="linear2")(ffn)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=cdt, name="norm2")(src + ffn)
         return src
 
 
@@ -216,6 +222,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     n_points: int = 4
     transformer_in_features: Tuple[str, ...] = ("res3", "res4", "res5")
     value_dtype: str = "float32"  # see MSDeformAttnLayer.value_dtype
+    island_dtype: str = "float32"  # see MSDeformAttnLayer.island_dtype
     impl: str = "exact"  # see MSDeformAttnLayer.impl
 
     @nn.compact
@@ -223,8 +230,10 @@ class MSDeformAttnPixelDecoder(nn.Module):
         self, features: Dict[str, jnp.ndarray]
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         in_dtype = features["res2"].dtype
-        # fp32 island
-        features = {k: v.astype(jnp.float32) for k, v in features.items()}
+        # fp32 island (reference @autocast(enabled=False)); serving may relax
+        # the whole island to bf16 via island_dtype
+        cdt = jnp.dtype(self.island_dtype)
+        features = {k: v.astype(cdt) for k, v in features.items()}
 
         # transformer levels, top-down order (res5, res4, res3)
         levels = list(self.transformer_in_features)[::-1]
@@ -232,8 +241,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
         for i, name in enumerate(levels):
             x = features[name]
             B, Hl, Wl, _ = x.shape
-            proj = nn.Conv(self.conv_dim, (1, 1), name=f"input_proj_{i}_conv")(x)
-            proj = nn.GroupNorm(num_groups=32, name=f"input_proj_{i}_norm")(proj)
+            proj = nn.Conv(self.conv_dim, (1, 1), dtype=cdt, name=f"input_proj_{i}_conv")(x)
+            proj = nn.GroupNorm(num_groups=32, dtype=cdt, name=f"input_proj_{i}_norm")(proj)
             srcs.append(proj.reshape(B, Hl * Wl, self.conv_dim))
             pe = position_embedding_sine_2d(Hl, Wl, self.conv_dim // 2)
             poss.append(pe.reshape(Hl * Wl, self.conv_dim))
@@ -258,6 +267,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 n_heads=self.n_heads,
                 n_points=self.n_points,
                 value_dtype=self.value_dtype,
+                island_dtype=self.island_dtype,
                 impl=self.impl,
                 name=f"encoder_layer_{li}",
             )(src, pos, refs, spatial_shapes)

@@ -22,18 +22,19 @@ from dvis_plus_tpu.models.segmenter.transformer_decoder import MaskedTransformer
 
 def build_backbone(cfg: ModelConfig) -> nn.Module:
     name = cfg.backbone.name
+    dtype = jnp.dtype(cfg.compute_dtype)  # AMP-style compute (params fp32)
     if name == "resnet50":
-        return resnet50(out_features=cfg.backbone.out_features)
+        return resnet50(out_features=cfg.backbone.out_features, dtype=dtype)
     if name == "resnet101":
-        return resnet101(out_features=cfg.backbone.out_features)
+        return resnet101(out_features=cfg.backbone.out_features, dtype=dtype)
     if name.startswith("swin"):
         from dvis_plus_tpu.models.backbones.swin import build_swin
 
-        return build_swin(cfg.backbone)
+        return build_swin(cfg.backbone, dtype=dtype)
     if name == "vit_adapter_dinov2":
         from dvis_plus_tpu.models.backbones.vit_adapter import build_vit_adapter
 
-        return build_vit_adapter(cfg.backbone)
+        return build_vit_adapter(cfg.backbone, dtype=dtype)
     raise ValueError(f"Unknown backbone: {name}")
 
 
@@ -61,6 +62,7 @@ class Segmenter(nn.Module):
                 n_points=self.cfg.pixel_decoder.num_points,
                 transformer_in_features=self.cfg.pixel_decoder.transformer_in_features,
                 value_dtype=self.cfg.pixel_decoder.msdeform_value_dtype,
+                island_dtype=self.cfg.pixel_decoder.island_dtype,
                 impl=self.cfg.pixel_decoder.msdeform_impl,
             )
         td = self.cfg.transformer_decoder

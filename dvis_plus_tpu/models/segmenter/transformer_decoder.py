@@ -43,9 +43,10 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.dtype  # AMP: compute follows the caller's cast (params fp32)
         for i in range(self.num_layers - 1):
-            x = nn.relu(nn.Dense(self.hidden_dim, name=f"layer_{i}")(x))
-        return nn.Dense(self.output_dim, name=f"layer_{self.num_layers - 1}")(x)
+            x = nn.relu(nn.Dense(self.hidden_dim, dtype=d, name=f"layer_{i}")(x))
+        return nn.Dense(self.output_dim, dtype=d, name=f"layer_{self.num_layers - 1}")(x)
 
 
 def _attention(
@@ -73,11 +74,12 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, q, k, v, mask=None):
         H = self.num_heads
         Dh = self.dim // H
-        qp = nn.DenseGeneral((H, Dh), name="q_proj")(q)
-        kp = nn.DenseGeneral((H, Dh), name="k_proj")(k)
-        vp = nn.DenseGeneral((H, Dh), name="v_proj")(v)
+        d = q.dtype  # AMP: follow the caller's cast; softmax stays fp32
+        qp = nn.DenseGeneral((H, Dh), dtype=d, name="q_proj")(q)
+        kp = nn.DenseGeneral((H, Dh), dtype=d, name="k_proj")(k)
+        vp = nn.DenseGeneral((H, Dh), dtype=d, name="v_proj")(v)
         out = _attention(qp, kp, vp, mask)
-        return nn.DenseGeneral(self.dim, axis=(-2, -1), name="out_proj")(out)
+        return nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=d, name="out_proj")(out)
 
 
 class SelfAttentionLayer(nn.Module):
@@ -96,7 +98,7 @@ class SelfAttentionLayer(nn.Module):
     ) -> jnp.ndarray:
         q = tgt + query_pos
         out = MultiHeadAttention(self.dim, self.num_heads, name="attn")(q, q, tgt, mask)
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt + out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=tgt.dtype, name="norm")(tgt + out)
 
 
 class CrossAttentionLayer(nn.Module):
@@ -110,7 +112,7 @@ class CrossAttentionLayer(nn.Module):
         out = MultiHeadAttention(self.dim, self.num_heads, name="attn")(
             tgt + query_pos, memory + pos, memory, mask
         )
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt + out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=tgt.dtype, name="norm")(tgt + out)
 
 
 class FFNLayer(nn.Module):
@@ -121,9 +123,10 @@ class FFNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt):
-        out = nn.Dense(self.hidden_dim, name="linear1")(tgt)
-        out = nn.Dense(self.dim, name="linear2")(nn.relu(out))
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt + out)
+        d = tgt.dtype
+        out = nn.Dense(self.hidden_dim, dtype=d, name="linear1")(tgt)
+        out = nn.Dense(self.dim, dtype=d, name="linear2")(nn.relu(out))
+        return nn.LayerNorm(epsilon=1e-5, dtype=d, name="norm")(tgt + out)
 
 
 class MaskedTransformerDecoder(nn.Module):
@@ -170,7 +173,7 @@ class MaskedTransformerDecoder(nn.Module):
         srcs, poss, sizes = [], [], []
         for i, x in enumerate(multi_scale):
             _, Hl, Wl, _ = x.shape
-            proj = x if x.shape[-1] == C else nn.Conv(C, (1, 1), name=f"input_proj_{i}")(x)
+            proj = x if x.shape[-1] == C else nn.Conv(C, (1, 1), dtype=dtype, name=f"input_proj_{i}")(x)
             srcs.append(
                 proj.reshape(BT, Hl * Wl, C) + level_embed[i][None, None].astype(dtype)
             )
@@ -181,8 +184,8 @@ class MaskedTransformerDecoder(nn.Module):
             )
             sizes.append((Hl, Wl))
 
-        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
-        class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="decoder_norm")
+        class_embed = nn.Dense(self.num_classes + 1, dtype=dtype, name="class_embed")
         mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
 
         def prediction_heads(output, attn_size):

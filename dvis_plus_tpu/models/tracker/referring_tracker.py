@@ -127,7 +127,7 @@ class ReferringCrossAttentionLayer(nn.Module):
     @nn.compact
     def __call__(self, identity, tgt, key, memory):
         out = MultiHeadAttention(self.dim, self.num_heads, name="attn")(tgt, key, memory)
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(identity + out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=identity.dtype, name="norm")(identity + out)
 
 
 class _FrameStep(nn.Module):
@@ -157,6 +157,7 @@ class _FrameStep(nn.Module):
         idx, init = jax.vmap(
             lambda r, rf, c, cn: noiser(r, rf, c, cn, activate, self.noise_ratio, mode)
         )(jax.random.split(rng_f, B), ref_for_match, cur, cur_nn)
+        init = init.astype(cur.dtype)  # noiser math may promote to fp32
         aligned_embeds = jnp.take_along_axis(cur, idx[..., None], axis=1)
 
         frame_key = cur_nn
@@ -228,10 +229,18 @@ class ReferringTracker(nn.Module):
         if rng is None:
             rng = jax.random.key(0)
 
-        mask_features = nn.Dense(self.mask_dim, name="mask_feature_proj")(mask_features)
+        mask_features = nn.Dense(self.mask_dim, dtype=mask_features.dtype, name="mask_feature_proj")(mask_features)
 
         if state is None:
             state = init_tracker_state(B, Q, C, frame_embeds.dtype)
+        else:
+            # scan carry dtype must match the compute dtype exactly — drivers
+            # may hand back an fp32 carry while AMP runs the frames in bf16
+            state = TrackerState(
+                last_output=state.last_output.astype(frame_embeds.dtype),
+                last_frame_embeds=state.last_frame_embeds.astype(frame_embeds.dtype),
+                is_first=state.is_first,
+            )
 
         xs = (
             jnp.swapaxes(frame_embeds, 0, 1),
@@ -264,7 +273,7 @@ class ReferringTracker(nn.Module):
         # outputs: (T, L, B, Q, C); references: (T, B, Q, C); indices: (T, B, Q)
 
         emit = outputs if training else outputs[:, -1:]
-        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=frame_embeds.dtype, name="decoder_norm")
         mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
 
         x = decoder_norm(emit)  # (T, L', B, Q, C)
@@ -280,7 +289,7 @@ class ReferringTracker(nn.Module):
 
             assert text_classifier is not None and num_templates is not None
             Tn, Ln, Bn, Qn, _ = x.shape
-            merged = nn.Dense(C, name="merge")(cls_in)  # (T, L', B, Q, C)
+            merged = nn.Dense(C, dtype=cls_in.dtype, name="merge")(cls_in)  # (T, L', B, Q, C)
             # pool the tracker's mask features under each predicted mask
             mf_flat = jnp.broadcast_to(
                 mask_features[None], (Ln,) + mask_features.shape
@@ -290,8 +299,8 @@ class ReferringTracker(nn.Module):
             )
             pooled = mask_pooling(mf_flat, masks_flat)  # (LBT, Q, Cm)
             pooled = pooled.reshape(Ln, Bn, Tn, Qn, -1).transpose(2, 0, 1, 3, 4)
-            pooled = nn.LayerNorm(epsilon=1e-5, name="maskpool_norm")(pooled)
-            pooled = nn.Dense(C, name="maskpool_proj")(pooled)
+            pooled = nn.LayerNorm(epsilon=1e-5, dtype=pooled.dtype, name="maskpool_norm")(pooled)
+            pooled = nn.Dense(C, dtype=pooled.dtype, name="maskpool_proj")(pooled)
             cls_emb = MLP(C, self.clip_embed_dim, num_layers=3, name="class_embed_ov")(
                 pooled + merged
             )
@@ -302,7 +311,7 @@ class ReferringTracker(nn.Module):
                 cls_emb, text_classifier, scale, num_templates
             )
         else:
-            logits = nn.Dense(self.num_classes + 1, name="class_embed")(cls_in)
+            logits = nn.Dense(self.num_classes + 1, dtype=cls_in.dtype, name="class_embed")(cls_in)
         logits = jnp.transpose(logits, (1, 2, 0, 3, 4))  # (L', B, T, Q, K+1)
 
         out = {
