@@ -31,6 +31,42 @@ def _rel_pos_index(ws: int) -> np.ndarray:
     return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
 
 
+class _QKV(nn.Module):
+    """Fused qkv projection executed as three kernel-sliced matmuls.
+
+    Param tree matches ``nn.Dense(3C, name="qkv")`` (kernel (C, 3C) + bias),
+    so checkpoints and the torch converter are unchanged — but slicing the
+    *kernel* instead of the activation avoids the (B_, N, 3, H, Dh)
+    split/transpose relayouts that dominated the profiled block time (v5e
+    trace: two 17.5 ms + two 9.8 ms copy ops per 8 block-pairs)."""
+
+    features: int  # 3C
+    use_bias: bool
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (C, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        d = self.dtype or x.dtype
+        xd = x.astype(d)
+        outs = []
+        for i in range(3):
+            w = jax.lax.slice_in_dim(kernel, i * C, (i + 1) * C, axis=1)
+            o = xd @ w.astype(d)
+            if bias is not None:
+                o = o + bias[i * C : (i + 1) * C].astype(d)
+            outs.append(o)
+        return outs  # [q, k, v], each (B_, N, C)
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
@@ -46,11 +82,10 @@ class WindowAttention(nn.Module):
         Dh = C // H
         ws = self.window_size
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(B_, N, 3, H, Dh), 3, axis=2)
-        q = q[:, :, 0].transpose(0, 2, 1, 3)  # (B_, H, N, Dh)
-        k = k[:, :, 0].transpose(0, 2, 1, 3)
-        v = v[:, :, 0].transpose(0, 2, 1, 3)
+        q, k, v = _QKV(3 * C, self.qkv_bias, self.dtype, name="qkv")(x)
+        q = q.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)  # (B_, H, N, Dh)
+        k = k.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
 
         table = self.param(
             "relative_position_bias_table",
@@ -60,13 +95,37 @@ class WindowAttention(nn.Module):
         idx = jnp.asarray(_rel_pos_index(ws))
         bias = table[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)  # (H, N, N)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-        attn = attn * (Dh**-0.5) + bias[None].astype(attn.dtype)
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(B_, H, N, N)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        if q.dtype == jnp.bfloat16:
+            # serving fast path: keep the (B_, H, N, N) scores in bf16 end to
+            # end — the fp32 scores pipeline (scale+bias+mask+softmax) was 50%
+            # of the profiled block time on v5e. exp in bf16 after max-sub;
+            # the denominator accumulates in fp32 (small tensor). Same
+            # numeric class as the bf16 deformable-attention values
+            # (documented serving deviation; fp32 path below is exact).
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+            attn = attn * jnp.bfloat16(Dh**-0.5) + bias[None].astype(attn.dtype)
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[
+                    None, :, None
+                ].astype(attn.dtype)
+                attn = attn.reshape(B_, H, N, N)
+            m = jnp.max(attn, axis=-1, keepdims=True)
+            e = jnp.exp(attn - m)
+            s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            attn = e * (1.0 / s).astype(e.dtype)
+        else:
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+            )
+            attn = attn * (Dh**-0.5) + bias[None].astype(attn.dtype)
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[
+                    None, :, None
+                ].astype(attn.dtype)
+                attn = attn.reshape(B_, H, N, N)
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B_, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -109,7 +168,11 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         B, H, W, C = x.shape
-        ws = min(self.window_size, max(H, W))
+        # window size stays FIXED for any map size (param shapes must be
+        # static across input sizes; small maps are padded up to one window,
+        # matching the reference detection-Swin port which never clamps) —
+        # only the cyclic shift is disabled when one window covers the map
+        ws = self.window_size
         shift = self.shift_size if ws < min(H, W) else 0
         shortcut = x
 
