@@ -50,7 +50,10 @@ def bench_r50_online(H=736, W=1280, T_w=5, n_windows=6):
         seg_out, track_out, new_state = model.apply(params, images, state=state)
         return track_out["pred_logits"], track_out["pred_masks"], new_state
 
-    state = init_tracker_state(1, cfg.model.transformer_decoder.num_queries, 256)
+    state = init_tracker_state(
+        1, cfg.model.transformer_decoder.num_queries, 256,
+        jnp.dtype(cfg.model.compute_dtype),
+    )
     rng = np.random.RandomState(0)
     frames = jnp.asarray(rng.rand(1, T_w, H, W, 3).astype(np.float32))
 
@@ -113,7 +116,7 @@ def bench_swinl_offline(H=736, W=1280, T_w=5, n_windows=2, topk=20):
     frames = jnp.asarray(rng.rand(1, T_w, H, W, 3).astype(np.float32))
 
     def run_video():
-        state = init_tracker_state(1, Q, C2)
+        state = init_tracker_state(1, Q, C2, jnp.dtype(cfg.model.compute_dtype))
         lgs, insts, frames_l, mf_host = [], [], [], []
         for _ in range(n_windows):
             lg, inst, frame, mf, state = win(params, frames, state)

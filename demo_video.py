@@ -159,7 +159,9 @@ def main():
         W_sz = cfg.test.window_size
         td = cfg.model.transformer_decoder
         C2 = td.hidden_dim * (2 if td.reid_branch else 1)
-        state = init_tracker_state(1, td.num_queries, C2)
+        state = init_tracker_state(
+            1, td.num_queries, C2, jnp.dtype(cfg.model.compute_dtype)
+        )
 
         @_jax.jit
         def win(params, imgs, state):

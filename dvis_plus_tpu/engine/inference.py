@@ -251,7 +251,9 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
 
     td = cfg.model.transformer_decoder
     C2 = td.hidden_dim * (2 if td.reid_branch else 1)
-    state = init_tracker_state(1, td.num_queries, C2)
+    # carry dtype matches the compute dtype: a mismatched carry forces a
+    # second trace of the window fn on the first resume
+    state = init_tracker_state(1, td.num_queries, C2, jnp.dtype(cfg.model.compute_dtype))
 
     T = images.shape[0]
     n_windows = (T + W_sz - 1) // W_sz

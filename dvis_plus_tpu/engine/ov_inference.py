@@ -160,7 +160,9 @@ def _online_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
     win = fns["win"]
 
     td = cfg.model.transformer_decoder
-    state = init_tracker_state(1, td.num_queries, td.hidden_dim)
+    state = init_tracker_state(
+        1, td.num_queries, td.hidden_dim, jnp.dtype(cfg.model.compute_dtype)
+    )
     T = images.shape[0]
     n_windows = (T + W_sz - 1) // W_sz
     images = _pad_to(images, n_windows * W_sz)
@@ -240,7 +242,9 @@ def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, al
     win, refine_embeds, mask_and_pool, classify = fns["win"]
 
     td = cfg.model.transformer_decoder
-    state = init_tracker_state(1, td.num_queries, td.hidden_dim)
+    state = init_tracker_state(
+        1, td.num_queries, td.hidden_dim, jnp.dtype(cfg.model.compute_dtype)
+    )
     T = images.shape[0]
     n_windows = (T + W_sz - 1) // W_sz
     images = _pad_to(images, n_windows * W_sz)

@@ -124,6 +124,19 @@ def test_swin_nondivisible_input():
     assert out["res2"].shape[1:3] == (17, 24)  # ceil(67/4), ceil(93/4)
 
 
+def test_swin_param_shapes_stable_across_input_sizes():
+    """Params initialized at one video size must apply at any other: mixed-
+    size eval crashed when the window size (and so the relative-position
+    table shape) was clamped to small feature maps (regression)."""
+    cfg = BackboneConfig(name="swin_t")
+    model = build_swin(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 96, 64, 3)))
+    # maps at stride 32 become 2x3 and 3x2 (< window 7): same params must fit
+    for shape in ((1, 64, 96, 3), (1, 96, 64, 3), (1, 128, 128, 3)):
+        out = model.apply(params, jnp.zeros(shape))
+        assert np.all(np.isfinite(np.asarray(out["res5"])))
+
+
 def test_vit_adapter_tiny():
     from dvis_plus_tpu.models.backbones.vit_adapter import ViTAdapter
     import jax
