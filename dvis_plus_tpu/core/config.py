@@ -265,6 +265,10 @@ class TestConfig:
     max_num: int = 20  # top-K instances kept at inference
     object_mask_threshold: float = 0.0
     overlap_threshold: float = 0.8
+    # >1 = run the offline refiner's video-level embed pass object-sharded
+    # over that many devices (sequence parallel, parallel/sp.py): T^2
+    # attention FLOPs and O(T*Q*C) activations divide across the mesh
+    refiner_shard_devices: int = 0
 
 
 @dataclass

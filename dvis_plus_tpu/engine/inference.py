@@ -295,10 +295,24 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
 
     refine_key = ("refine_embeds", inst.shape[1])
     if refine_key not in window_fns:
-        @jax.jit
-        def refine_embeds(params, inst, frame):
-            out = model.apply(params, inst, frame, method=type(model).refine_embeds)
-            return out["pred_logits"][0], out["mask_embed"][0]
+        n_sp = getattr(cfg.test, "refiner_shard_devices", 0)
+        if n_sp > 1 and len(jax.devices()) >= n_sp:
+            # sequence-parallel embed pass: object axis sharded over the mesh
+            # (parallel/sp.py) — T^2 attention and activations split n_sp ways
+            from dvis_plus_tpu.parallel.mesh import build_mesh
+            from dvis_plus_tpu.parallel.sp import refiner_embed_pass_sharded
+
+            sp_mesh = build_mesh(jax.devices()[:n_sp])
+
+            @jax.jit
+            def refine_embeds(params, inst, frame):
+                out = refiner_embed_pass_sharded(model, params, inst, frame, sp_mesh)
+                return out["pred_logits"][0], out["mask_embed"][0]
+        else:
+            @jax.jit
+            def refine_embeds(params, inst, frame):
+                out = model.apply(params, inst, frame, method=type(model).refine_embeds)
+                return out["pred_logits"][0], out["mask_embed"][0]
 
         @jax.jit
         def mask_win(params, membd, mf):

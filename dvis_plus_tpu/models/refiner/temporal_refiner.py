@@ -118,13 +118,21 @@ class TemporalRefiner(nn.Module):
         instance_embeds: jnp.ndarray,  # (B, T, Q, C)
         frame_embeds: jnp.ndarray,  # (B, T, fQ, C)
         instance_mask: Optional[jnp.ndarray] = None,  # (B, Q) False = padded
+        axis_name: Optional[str] = None,  # sequence-parallel: Q is a shard
     ) -> jnp.ndarray:
-        """Returns stacked per-layer outputs (L, B, T, Q, C)."""
+        """Returns stacked per-layer outputs (L, B, T, Q, C).
+
+        With ``axis_name`` set (inside ``shard_map``), ``instance_embeds``
+        holds this device's OBJECT shard: the temporal attention, conv, FFN
+        and heads are object-local, so T^2 compute and O(T*Q*C) memory split
+        across the mesh; only the per-frame object self-attention all-gathers
+        its keys/values over ICI. ``instance_mask`` must then be the FULL
+        (B, Q_total) mask (replicated), marking padded/invalid objects."""
         B, T, Q, C = instance_embeds.shape
 
         obj_mask = None
         if instance_mask is not None:
-            key_ok = jnp.repeat(instance_mask, T, axis=0)  # (B*T, Q)
+            key_ok = jnp.repeat(instance_mask, T, axis=0)  # (B*T, Q_total)
             obj_mask = jnp.where(key_ok[:, None, None, :], 0.0, -1e9)
 
         output = instance_embeds
@@ -137,7 +145,13 @@ class TemporalRefiner(nn.Module):
             x = self.conv_layers[i](x)
             # 3) object self-attention: batch (B*T), sequence Q
             x = x.reshape(B, Q, T, C).swapaxes(1, 2).reshape(B * T, Q, C)
-            x = self.obj_self_layers[i](x, jnp.zeros_like(x), obj_mask)
+            if axis_name is None:
+                x = self.obj_self_layers[i](x, jnp.zeros_like(x), obj_mask)
+            else:
+                kv = jax.lax.all_gather(x, axis_name, axis=1, tiled=True)
+                x = self.obj_self_layers[i](
+                    x, jnp.zeros_like(x), obj_mask, kv=kv
+                )
             # 4) cross-attention to the same frame's segmenter queries (their
             # count fQ may differ from the refined instance count Q — DAQ
             # offline refines Qc tracked slots against fQ frame queries)
@@ -223,12 +237,15 @@ class TemporalRefiner(nn.Module):
         instance_embeds: jnp.ndarray,  # (B, T, Q, C)
         frame_embeds: jnp.ndarray,  # (B, T, fQ, C)
         instance_mask: Optional[jnp.ndarray] = None,  # (B, Q)
+        axis_name: Optional[str] = None,  # see _body: Q-sharded under shard_map
     ) -> Dict[str, jnp.ndarray]:
         """Eval-time pass over embeds only — no mask features touched, so HBM
         is O(T·Q·C). Returns the final-layer class logits and the mask-head
         embeddings to feed :meth:`mask_window` per time chunk (the TPU
-        replacement for reference ``windows_prediction`` refiner.py:169-194)."""
-        outs = self._body(instance_embeds, frame_embeds, instance_mask)
+        replacement for reference ``windows_prediction`` refiner.py:169-194).
+        For long videos on a mesh use
+        :func:`dvis_plus_tpu.parallel.sp.refiner_embed_pass_sharded`."""
+        outs = self._body(instance_embeds, frame_embeds, instance_mask, axis_name)
         x = self.decoder_norm(outs[-1:])  # (1, B, T, Q, C)
         fused = self._pred_class(x)
         if self.ov:

@@ -95,9 +95,16 @@ class SelfAttentionLayer(nn.Module):
         tgt: jnp.ndarray,
         query_pos: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
+        kv: Optional[jnp.ndarray] = None,
+        kv_pos: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """``kv`` overrides the keys/values (same params): used by the
+        sequence-parallel refiner, whose object self-attention queries a
+        local query shard against the all-gathered full set."""
         q = tgt + query_pos
-        out = MultiHeadAttention(self.dim, self.num_heads, name="attn")(q, q, tgt, mask)
+        k = q if kv is None else kv + (kv_pos if kv_pos is not None else 0.0)
+        v = tgt if kv is None else kv
+        out = MultiHeadAttention(self.dim, self.num_heads, name="attn")(q, k, v, mask)
         return nn.LayerNorm(epsilon=1e-5, dtype=tgt.dtype, name="norm")(tgt + out)
 
 

@@ -105,3 +105,53 @@ def test_process0_prediction_gather():
     gathered = gather_predictions(rows)
     assert is_main_process()
     assert gathered == rows
+
+
+def test_sequence_parallel_refiner_matches_single_device():
+    """Object-sharded refiner embed pass (parallel/sp.py) == the plain pass:
+    the per-frame object self-attention all-gathers its keys over the mesh,
+    everything else is object-local."""
+    from dvis_plus_tpu.models.refiner.temporal_refiner import TemporalRefiner
+    from dvis_plus_tpu.parallel.sp import refiner_embed_pass_sharded
+
+    class Holder:
+        pass
+
+    import flax.linen as nn
+
+    class Wrap(nn.Module):
+        def setup(self):
+            self.refiner = TemporalRefiner(
+                num_classes=3, hidden_dim=32, feedforward_dim=64,
+                num_heads=2, num_layers=2, mask_dim=16,
+            )
+
+        def __call__(self, ie, fe):
+            return self.refiner.embed_pass(ie, fe)
+
+    B, T, Q, C = 1, 6, 10, 32  # Q=10 not divisible by 8: exercises padding
+    rng = np.random.RandomState(0)
+    ie = jnp.asarray(rng.randn(B, T, Q, C).astype(np.float32))
+    fe = jnp.asarray(rng.randn(B, T, 12, C).astype(np.float32))
+
+    model = Wrap()
+    params = model.init(jax.random.key(0), ie, fe)
+    ref = model.apply(params, ie, fe)
+
+    mesh = build_mesh()
+    out = refiner_embed_pass_sharded(model, params, ie, fe, mesh)
+
+    assert out["pred_logits"].shape == ref["pred_logits"].shape
+    assert out["mask_embed"].shape == ref["mask_embed"].shape
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]), np.asarray(ref["pred_logits"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["mask_embed"]), np.asarray(ref["mask_embed"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_embds"]), np.asarray(ref["pred_embds"]),
+        rtol=2e-4, atol=2e-5,
+    )
