@@ -1,4 +1,7 @@
 """Pixel decoder ablations at Swin dims: op share, fp32-island cost."""
+import os, sys
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 

@@ -1,4 +1,7 @@
 """Microbench ms_deform_attn internals at Swin-L decoder shapes (T=5)."""
+import os, sys
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 

@@ -1,5 +1,8 @@
 """Measure pallas local-window kernel per (query-level, value-level) pair at
 Swin-L decoder shapes (T=5) and the full op, vs the exact gather op."""
+import os, sys
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 

@@ -1,4 +1,7 @@
 """Ablate Swin-L forward cost: attention vs MLP vs partition/roll plumbing."""
+import os, sys
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 import flax.linen as nn

@@ -1,4 +1,7 @@
 """Swin-L ablation part 2: roll, partition, and pure-MLP floors."""
+import os, sys
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 import flax.linen as nn

@@ -4,6 +4,9 @@ Each piece is wrapped in a lax.scan chain with a scalar data dependency so
 XLA cannot hoist it; cost = (t(R reps) - t(1 rep)) / (R - 1), which cancels
 the multi-ms axon-relay dispatch+sync overhead.
 """
+import os, sys
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 from jax import lax

@@ -1,4 +1,7 @@
 """Does ws-divisibility of (H, W) explain the Swin block slowness?"""
+import os, sys
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 from jax import lax

@@ -1,4 +1,7 @@
 """Bench the real SwinBlock stacks per stage (in-graph reps, true shapes)."""
+import os, sys
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 from jax import lax

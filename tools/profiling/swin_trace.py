@@ -1,4 +1,7 @@
 """Capture a device trace of one s1 Swin block pair and dump HLO op stats."""
+import os, sys
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import glob, os, sys, time
 import jax, jax.numpy as jnp, numpy as np
 from jax import lax

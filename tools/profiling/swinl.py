@@ -1,4 +1,7 @@
 """Per-component timing of the Swin-L offline path at 736x1280, T=5."""
+import os, sys
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 
