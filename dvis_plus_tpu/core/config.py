@@ -187,6 +187,12 @@ class CriterionConfig:
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
     max_num_instances: int = 50  # padded GT capacity per clip
+    # jv = exact in-graph JV solver (reference scipy semantics, the default);
+    # auction = vectorized auction — measured v5e: far faster at high GT
+    # capacity (N=100/Q=200: 0.5 vs 14 ms/solve) but round count blows up on
+    # near-uniform costs (e.g. random init), so whole-step impact is
+    # workload-dependent. Exact on non-degenerate costs (tested).
+    matcher_solver: str = "jv"
 
 
 @dataclass

@@ -57,6 +57,7 @@ def criterion_config(cfg: Config) -> CriterionConfig:
         num_points=c.train_num_points,
         oversample_ratio=c.oversample_ratio,
         importance_sample_ratio=c.importance_sample_ratio,
+        matcher_solver=c.matcher_solver,
     )
 
 
@@ -172,6 +173,7 @@ def build_loss_fn(cfg: Config, model, text_classifier=None, num_templates=None) 
                         mask_weight=ccfg.mask_weight,
                         dice_weight=ccfg.dice_weight,
                         num_points=ccfg.num_points,
+                        solver=ccfg.matcher_solver,
                     ),
                 )  # (B*T, N)
                 N = q4g.shape[1]

@@ -45,6 +45,7 @@ class CriterionConfig(NamedTuple):
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
     match_mode: str = "clip"  # clip | frame_consistent
+    matcher_solver: str = "jv"  # jv (exact) | auction (TPU-fast; see MatchCosts)
 
 
 class LayerOutputs(NamedTuple):
@@ -69,6 +70,7 @@ def _match(
         mask_weight=cfg.mask_weight,
         dice_weight=cfg.dice_weight,
         num_points=cfg.num_points,
+        solver=cfg.matcher_solver,
     )
     if cfg.match_mode == "frame_consistent":
         assert outputs.pred_logits.ndim == 4, "consistent match needs per-frame logits"

@@ -37,6 +37,33 @@ class MatchCosts(NamedTuple):
     mask_weight: float = 5.0
     dice_weight: float = 5.0
     num_points: int = 12544
+    # LAP solver for the training matchers: "jv" = exact sequential JV
+    # (reference scipy.linear_sum_assignment semantics, default); "auction" =
+    # vectorized auction (ops/assignment.py) — wins big at high GT capacity
+    # (v5e: 0.5 vs 14 ms/solve at 100x200) but its round count grows on
+    # near-uniform costs. Exact on non-degenerate costs (tested vs jv).
+    solver: str = "jv"
+
+
+def solve_lap(C_T: jnp.ndarray, solver: str = "jv") -> jnp.ndarray:
+    """row4col assignment minimizing C_T (rows=GT slots, cols=queries).
+
+    For the auction path the _PAD_COST sentinels are clipped to just above
+    the valid-cost span first: auction's bid epsilon scales with the global
+    span, so raw 1e6 pads would wash out real cost differences."""
+    if solver == "auction":
+        from dvis_plus_tpu.ops.assignment import auction_lap
+
+        c = C_T.astype(jnp.float32)
+        finite = c < _PAD_COST / 2
+        vmax = jnp.max(jnp.where(finite, c, -jnp.inf))
+        vmin = jnp.min(jnp.where(finite, c, jnp.inf))
+        vmax = jnp.where(jnp.isfinite(vmax), vmax, 1.0)
+        vmin = jnp.where(jnp.isfinite(vmin), vmin, 0.0)
+        pad = vmax + (vmax - vmin) + 1.0
+        return auction_lap(jnp.where(finite, c, pad))
+    q, _ = hungarian(C_T)
+    return q
 
 
 def batch_sigmoid_ce_cost(src: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
@@ -101,7 +128,7 @@ def video_hungarian_match(
         # invalid GT slots get a uniform pad cost: they soak up leftover
         # queries without perturbing the real rows' optimum
         C = jnp.where(valid[None, :], C, _PAD_COST)
-        q4g, _ = hungarian(C.T)  # (N,) -> query index per GT slot
+        q4g = solve_lap(C.T, costs.solver)  # (N,) -> query index per GT slot
         return q4g
 
     rngs = jax.random.split(rng, B)
@@ -141,7 +168,7 @@ def consistent_match(
             C = _pair_cost(logits_t[f].astype(jnp.float32), src_pts, labels, tgt_pts, costs)
             C = jnp.where(cols[None, :], C, _PAD_COST)  # only this frame's GTs
             C = jnp.where(used_q[:, None], 2.0 * _PAD_COST, C)  # pinned queries
-            q4col, _ = hungarian(C.T)  # (N,) -> query per GT slot
+            q4col = solve_lap(C.T, costs.solver)  # (N,) -> query per GT slot
             accept = cols & (C.T[jnp.arange(N), q4col] < _PAD_COST)
             q4g = jnp.where(accept, q4col, q4g)
             used_q = used_q.at[jnp.where(accept, q4col, Q)].set(True, mode="drop")

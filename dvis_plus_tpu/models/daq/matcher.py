@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from dvis_plus_tpu.losses.matcher import MatchCosts, _pair_cost
 from dvis_plus_tpu.ops.hungarian import hungarian
+from dvis_plus_tpu.losses.matcher import solve_lap
 from dvis_plus_tpu.ops.point_sample import point_sample
 
 _PAD = 1e6
@@ -64,7 +65,7 @@ def frame_match(
     C = _frame_cost(rng, logits, masks, labels, tgt_masks, costs)
     C = jnp.where(valid_inst[None, :], C, _PAD)
 
-    q4g, _ = hungarian(C.T)  # (N,) -> query
+    q4g = solve_lap(C.T, costs.solver)  # (N,) -> query
     tgt_for_query = jnp.full((S,), -1, jnp.int32)
     tgt_for_query = tgt_for_query.at[jnp.where(valid_inst, q4g, S)].set(
         jnp.arange(N, dtype=jnp.int32), mode="drop"
@@ -104,7 +105,7 @@ def new_ins_match(
     is_new_row = jnp.arange(S) >= (S - num_new_ins)
     C = jnp.where(is_new_row[:, None], C, _PAD)
 
-    q4g, _ = hungarian(C.T)  # (N,) -> query
+    q4g = solve_lap(C.T, costs.solver)  # (N,) -> query
     accept = new_inst & (C.T[jnp.arange(N), q4g] < _PAD / 2)
     tgt_for_query = tgt_for_track
     tgt_for_query = tgt_for_query.at[jnp.where(accept, q4g, S)].set(

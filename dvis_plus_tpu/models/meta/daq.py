@@ -80,6 +80,7 @@ class DAQOnline(nn.Module):
             mask_weight=ccfg.mask_weight,
             dice_weight=ccfg.dice_weight,
             num_points=ccfg.train_num_points,
+            solver=ccfg.matcher_solver,
         )
 
         mf = seg_out["mask_features"]  # (T, H4, W4, Cm)

@@ -179,3 +179,26 @@ def test_aux_layers_rematch_in_self_match_mode():
     )
     # guided mode pins the assignment: the permuted aux layer scores worse
     assert float(guided["loss_dice_0"]) > float(guided["loss_dice"]) + 0.1
+
+
+def test_matcher_auction_solver_matches_jv():
+    """solve_lap(solver="auction") recovers the exact JV assignment on
+    matcher-style costs (random valid block + _PAD_COST sentinels for
+    invalid GTs and pinned queries)."""
+    import jax.numpy as jnp
+
+    from dvis_plus_tpu.losses.matcher import _PAD_COST, solve_lap
+
+    rng = np.random.RandomState(0)
+    for trial in range(10):
+        N, Q = 10, 50
+        C = rng.rand(N, Q).astype(np.float32) * 20.0
+        C[rng.rand(N) < 0.3] = _PAD_COST  # invalid GT rows
+        C[:, rng.rand(Q) < 0.2] = 2 * _PAD_COST  # pinned query columns
+        jv = np.asarray(solve_lap(jnp.asarray(C), "jv"))
+        au = np.asarray(solve_lap(jnp.asarray(C), "auction"))
+        valid = C.min(axis=1) < _PAD_COST / 2
+        # exact agreement on valid rows (non-degenerate random costs)
+        np.testing.assert_array_equal(jv[valid], au[valid], err_msg=f"trial {trial}")
+        # both injective
+        assert len(set(au.tolist())) == N

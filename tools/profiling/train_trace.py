@@ -1,9 +1,8 @@
-"""R50 online train-step timing on TPU (round-1 baseline: 1.42 s/step at
-480x768, T=5, full criterion + consistent matching + ReID CL)."""
+"""Device-trace one R50-online train step and dump top HLO ops."""
 import os, sys
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
 
-import time
+import glob
 import jax, jax.numpy as jnp, numpy as np
 
 from dvis_plus_tpu.core.config import Config
@@ -17,9 +16,6 @@ cfg.model.num_classes = 40
 cfg.model.freeze = ("segmenter",)
 cfg.model.transformer_decoder.reid_branch = True
 cfg.solver.max_iter = 100
-import sys as _sys
-if "--auction" in _sys.argv:
-    cfg.model.criterion.matcher_solver = "auction"
 
 B, T, H, W, N = 1, 5, 480, 768, 10
 model = DVISOnline(cfg.model)
@@ -37,14 +33,14 @@ batch = Batch(images=jnp.asarray(rng.rand(B, T, H, W, 3), jnp.float32), targets=
 
 train_step, init_state = build_train_step(cfg, model)
 state = init_state(params)
-
 key = jax.random.key(1)
 state, metrics = train_step(state, batch, key)
-print("first loss:", float(metrics["total_loss"]), flush=True)
-t0 = time.perf_counter()
-n = 5
-for i in range(n):
-    state, metrics = train_step(state, batch, jax.random.fold_in(key, i))
-_ = float(metrics["total_loss"])
-dt = (time.perf_counter() - t0) / n
-print(f"train step: {dt*1e3:.0f} ms (round-1 baseline 1420 ms)")
+jax.block_until_ready(state.params)
+
+logdir = "/tmp/train_trace"
+os.system(f"rm -rf {logdir}")
+jax.profiler.start_trace(logdir)
+state, metrics = train_step(state, batch, jax.random.fold_in(key, 7))
+jax.block_until_ready(state.params)
+jax.profiler.stop_trace()
+print("trace at", glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
