@@ -131,3 +131,50 @@ def test_post_processing_permutation_invariance(tiny_model):
     np.testing.assert_allclose(
         np.asarray(aligned[:, 0]), np.asarray(aligned[:, 1]), atol=1e-5
     )
+
+
+def test_bf16_serving_agrees_with_fp32(tiny_model):
+    """The bf16 AMP path (compute_dtype=bfloat16: backbone dtype threading,
+    bf16 window/decoder layers, bf16 deformable values) must agree with the
+    fp32 parity path on random weights: same top-1 classes for confident
+    queries and highly correlated mask logits."""
+    _, params = tiny_model
+
+    def build(dtype_name, value_dtype):
+        cfg = Config()
+        cfg.model.num_classes = K
+        cfg.model.compute_dtype = dtype_name
+        cfg.model.pixel_decoder.msdeform_value_dtype = value_dtype
+        cfg.model.backbone.name = "resnet50"
+        cfg.model.pixel_decoder.conv_dim = 32
+        cfg.model.pixel_decoder.mask_dim = 32
+        cfg.model.pixel_decoder.transformer_enc_layers = 1
+        cfg.model.pixel_decoder.transformer_dim_feedforward = 64
+        cfg.model.pixel_decoder.transformer_nheads = 4
+        cfg.model.transformer_decoder.hidden_dim = 32
+        cfg.model.transformer_decoder.num_queries = Q
+        cfg.model.transformer_decoder.nheads = 4
+        cfg.model.transformer_decoder.dim_feedforward = 64
+        cfg.model.transformer_decoder.dec_layers = 3
+        cfg.model.transformer_decoder.mask_dim = 32
+        return Segmenter(cfg.model)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(B * T, H, W, 3).astype(np.float32))
+
+    out32 = build("float32", "float32").apply(params, images)
+    outbf = build("bfloat16", "bfloat16").apply(params, images)
+
+    m32 = np.asarray(out32["pred_masks"], np.float32).ravel()
+    mbf = np.asarray(outbf["pred_masks"], np.float32).ravel()
+    corr = np.corrcoef(m32, mbf)[0, 1]
+    assert corr > 0.99, f"mask logit correlation {corr}"
+
+    l32 = np.asarray(out32["pred_logits"], np.float32)
+    lbf = np.asarray(outbf["pred_logits"], np.float32)
+    top32, topbf = l32.argmax(-1), lbf.argmax(-1)
+    # agreement on queries where fp32 is confident (margin over runner-up)
+    srt = np.sort(l32, axis=-1)
+    confident = (srt[..., -1] - srt[..., -2]) > 0.1
+    agree = (top32 == topbf)[confident].mean() if confident.any() else 1.0
+    assert agree > 0.9, f"top-1 agreement {agree}"
