@@ -33,16 +33,17 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.dtype  # AMP follows the caller's cast (params fp32)
         y = nn.Conv(
             self.dim, (7, 7), padding=[(3, 3), (3, 3)], feature_group_count=self.dim,
-            name="dwconv",
+            dtype=d, name="dwconv",
         )(x)
-        y = nn.LayerNorm(epsilon=1e-6, name="norm")(y)
-        y = nn.Dense(4 * self.dim, name="pwconv1")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=d, name="norm")(y)
+        y = nn.Dense(4 * self.dim, dtype=d, name="pwconv1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, name="pwconv2")(y)
+        y = nn.Dense(self.dim, dtype=d, name="pwconv2")(y)
         gamma = self.param("gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,))
-        return x + y * gamma
+        return x + y * gamma.astype(d)
 
 
 class ConvNeXt(nn.Module):
@@ -54,12 +55,13 @@ class ConvNeXt(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         outs: Dict[str, jnp.ndarray] = {}
-        y = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), name="stem_conv")(x)
-        y = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(y)
+        d = x.dtype
+        y = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=d, name="stem_conv")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=d, name="stem_norm")(y)
         for s, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if s > 0:
-                y = nn.LayerNorm(epsilon=1e-6, name=f"downsample_norm{s}")(y)
-                y = nn.Conv(dim, (2, 2), strides=(2, 2), name=f"downsample_conv{s}")(y)
+                y = nn.LayerNorm(epsilon=1e-6, dtype=d, name=f"downsample_norm{s}")(y)
+                y = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=d, name=f"downsample_conv{s}")(y)
             for b in range(depth):
                 y = ConvNeXtBlock(dim, name=f"stage{s}_block{b}")(y)
             outs[f"res{s + 2}"] = y
