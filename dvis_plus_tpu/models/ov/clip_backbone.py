@@ -78,11 +78,12 @@ class CLIPVisualHead(nn.Module):
     @nn.compact
     def __call__(self, pooled: jnp.ndarray) -> jnp.ndarray:
         """(..., C_trunk) mask-pooled features -> (..., embed_dim)."""
-        y = nn.LayerNorm(epsilon=1e-6, name="head_norm")(pooled)
+        d = pooled.dtype  # AMP follows the caller's cast (params fp32)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=d, name="head_norm")(pooled)
         # open_clip convnext_*_d head: mlp proj (fc1 -> gelu -> fc2)
-        y = nn.Dense(self.hidden_dim, name="proj_fc1")(y)
+        y = nn.Dense(self.hidden_dim, dtype=d, name="proj_fc1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.embed_dim, name="proj_fc2")(y)
+        y = nn.Dense(self.embed_dim, dtype=d, name="proj_fc2")(y)
         return y
 
 

@@ -44,8 +44,10 @@ class OVClassHead(nn.Module):
         num_templates: Sequence[int],
     ) -> jnp.ndarray:
         pooled = mask_pooling(mask_features, pred_masks)  # (B', Q, C)
-        pooled = nn.LayerNorm(epsilon=1e-5, name="maskpool_norm")(pooled)
-        pooled = nn.Dense(self.hidden_dim, name="maskpool_proj")(pooled)
+        d = query_embeds.dtype  # AMP follows the caller's cast (params fp32)
+        pooled = pooled.astype(d)
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=d, name="maskpool_norm")(pooled)
+        pooled = nn.Dense(self.hidden_dim, dtype=d, name="maskpool_proj")(pooled)
         x = self.param("logit_scale", nn.initializers.constant(jnp.log(1 / 0.07)), ())
         class_embed = MLP(
             self.hidden_dim, self.clip_embed_dim, num_layers=3, name="class_embed"
@@ -91,14 +93,14 @@ class OVMaskedTransformerDecoder(nn.Module):
         srcs, poss, sizes = [], [], []
         for i, x in enumerate(multi_scale):
             _, Hl, Wl, _ = x.shape
-            proj = x if x.shape[-1] == C else nn.Conv(C, (1, 1), name=f"input_proj_{i}")(x)
+            proj = x if x.shape[-1] == C else nn.Conv(C, (1, 1), dtype=dtype, name=f"input_proj_{i}")(x)
             srcs.append(proj.reshape(BT, Hl * Wl, C) + level_embed[i][None, None].astype(dtype))
             poss.append(
                 position_embedding_sine_2d(Hl, Wl, C // 2).reshape(1, Hl * Wl, C).astype(dtype)
             )
             sizes.append((Hl, Wl))
 
-        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="decoder_norm")
         mask_embed = MLP(C, self.mask_dim, num_layers=3, name="mask_embed")
         ov_head = OVClassHead(C, self.clip_embed_dim, name="ov_head")
 
