@@ -79,6 +79,7 @@ def bench_swinl_offline(H=736, W=1280, T_w=5, n_windows=2, topk=20):
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.pixel_decoder.msdeform_value_dtype = "bfloat16"
     cfg.model.backbone.name = "swin_l"
+    cfg.model.backbone.swin_fast_softmax = True  # serving bf16-scores path
     cfg.model.backbone.swin_embed_dim = 192
     cfg.model.backbone.swin_depths = (2, 2, 18, 2)
     cfg.model.backbone.swin_num_heads = (6, 12, 24, 48)

@@ -45,6 +45,8 @@ class BackboneConfig:
     swin_pretrain_img_size: int = 224
     swin_ape: bool = False
     swin_qkv_bias: bool = True
+    swin_fast_softmax: bool = False  # serving-only bf16 attention scores
+    # (explicit opt-in; training keeps the fp32-softmax island policy)
     # ViT-Adapter (MODEL.VIT_ADAPTER.*)
     vit_embed_dim: int = 1024
     vit_depth: int = 24
@@ -124,6 +126,8 @@ class TrackerConfig:
     noise_mode: str = "hard"  # none | hard (weighted-average shuffle 'wa' in reference noiser.py)
     noise_ratio: float = 0.5
     mask_dim: int = 256
+    matcher_solver: str = "auction"  # frame-alignment LAP: auction | jv (exact,
+    # reference scipy semantics — use for parity runs)
 
 
 @dataclass

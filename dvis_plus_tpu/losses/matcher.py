@@ -48,20 +48,26 @@ class MatchCosts(NamedTuple):
 def solve_lap(C_T: jnp.ndarray, solver: str = "jv") -> jnp.ndarray:
     """row4col assignment minimizing C_T (rows=GT slots, cols=queries).
 
-    For the auction path the _PAD_COST sentinels are clipped to just above
-    the valid-cost span first: auction's bid epsilon scales with the global
-    span, so raw 1e6 pads would wash out real cost differences."""
+    For the auction path the sentinels are clipped to just above the
+    valid-cost span first: auction's bid epsilon scales with the global span,
+    so raw 1e6 pads would wash out real cost differences. The TWO sentinel
+    tiers — invalid-GT rows (_PAD_COST) and pinned-query columns
+    (2*_PAD_COST, consistent_match) — map to two distinct clipped levels so
+    auction sees the same preference ordering as the JV path on
+    pad-involved rows."""
     if solver == "auction":
         from dvis_plus_tpu.ops.assignment import auction_lap
 
         c = C_T.astype(jnp.float32)
         finite = c < _PAD_COST / 2
+        tier2 = c >= 1.5 * _PAD_COST  # pinned columns (2 * _PAD_COST)
         vmax = jnp.max(jnp.where(finite, c, -jnp.inf))
         vmin = jnp.min(jnp.where(finite, c, jnp.inf))
         vmax = jnp.where(jnp.isfinite(vmax), vmax, 1.0)
         vmin = jnp.where(jnp.isfinite(vmin), vmin, 0.0)
-        pad = vmax + (vmax - vmin) + 1.0
-        return auction_lap(jnp.where(finite, c, pad))
+        span = (vmax - vmin) + 1.0
+        pad = vmax + span
+        return auction_lap(jnp.where(finite, c, jnp.where(tier2, pad + span, pad)))
     q, _ = hungarian(C_T)
     return q
 

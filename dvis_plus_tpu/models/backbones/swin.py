@@ -73,6 +73,7 @@ class WindowAttention(nn.Module):
     window_size: int
     qkv_bias: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay fp32)
+    fast_softmax: bool = False  # opt-in bf16 attention-scores serving path
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -95,13 +96,16 @@ class WindowAttention(nn.Module):
         idx = jnp.asarray(_rel_pos_index(ws))
         bias = table[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)  # (H, N, N)
 
-        if q.dtype == jnp.bfloat16:
-            # serving fast path: keep the (B_, H, N, N) scores in bf16 end to
-            # end — the fp32 scores pipeline (scale+bias+mask+softmax) was 50%
-            # of the profiled block time on v5e. exp in bf16 after max-sub;
-            # the denominator accumulates in fp32 (small tensor). Same
-            # numeric class as the bf16 deformable-attention values
-            # (documented serving deviation; fp32 path below is exact).
+        if self.fast_softmax and q.dtype == jnp.bfloat16:
+            # serving fast path (EXPLICIT opt-in via cfg.backbone
+            # .swin_fast_softmax — never taken during training, where the
+            # fp32-softmax island policy of core/config.py applies): keep the
+            # (B_, H, N, N) scores in bf16 end to end — the fp32 scores
+            # pipeline (scale+bias+mask+softmax) was 50% of the profiled
+            # block time on v5e. exp in bf16 after max-sub; the denominator
+            # accumulates in fp32 (small tensor). Same numeric class as the
+            # bf16 deformable-attention values (documented serving
+            # deviation; fp32 path below is exact).
             attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
             attn = attn * jnp.bfloat16(Dh**-0.5) + bias[None].astype(attn.dtype)
             if mask is not None:
@@ -164,6 +168,7 @@ class SwinBlock(nn.Module):
     qkv_bias: bool = True
     drop_path: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    fast_softmax: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
@@ -190,7 +195,8 @@ class SwinBlock(nn.Module):
 
         wins = _window_partition(x, ws)
         wins = WindowAttention(
-            self.dim, self.num_heads, ws, self.qkv_bias, self.dtype, name="attn"
+            self.dim, self.num_heads, ws, self.qkv_bias, self.dtype,
+            fast_softmax=self.fast_softmax, name="attn"
         )(wins, mask)
         x = _window_reverse(wins, ws, B, Hp, Wp)
 
@@ -242,7 +248,9 @@ class SwinTransformer(nn.Module):
     patch_size: int = 4
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 = AMP-style
-    # serving; params stay fp32; attention softmax stays fp32 regardless)
+    # serving; params stay fp32; attention softmax stays fp32 unless
+    # fast_softmax explicitly opts into the bf16-scores serving path)
+    fast_softmax: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> Dict[str, jnp.ndarray]:
@@ -273,6 +281,7 @@ class SwinTransformer(nn.Module):
                     qkv_bias=self.qkv_bias,
                     drop_path=float(dpr[blk_idx]),
                     dtype=self.dtype,
+                    fast_softmax=self.fast_softmax,
                     name=f"stage{s}_block{b}",
                 )(x, training)
                 blk_idx += 1
@@ -301,6 +310,7 @@ def build_swin(cfg: BackboneConfig, dtype=None) -> SwinTransformer:
     )
     return SwinTransformer(
         dtype=dtype,
+        fast_softmax=cfg.swin_fast_softmax,
         window_size=cfg.swin_window_size,
         mlp_ratio=cfg.swin_mlp_ratio,
         qkv_bias=cfg.swin_qkv_bias,

@@ -296,9 +296,9 @@ class ViTAdapter(nn.Module):
         )(x)
         # align SPM grids to the ViT grid
         shapes = ((2 * Hp, 2 * Wp), (Hp, Wp), (Hp // 2, Wp // 2))
-        c2 = jax.image.resize(c2m, (B,) + shapes[0] + (self.embed_dim,), "bilinear")
-        c3 = jax.image.resize(c3m, (B,) + shapes[1] + (self.embed_dim,), "bilinear")
-        c4 = jax.image.resize(c4m, (B,) + shapes[2] + (self.embed_dim,), "bilinear")
+        c2 = jax.image.resize(c2m, (B,) + shapes[0] + (self.embed_dim,), "bilinear", antialias=False)
+        c3 = jax.image.resize(c3m, (B,) + shapes[1] + (self.embed_dim,), "bilinear", antialias=False)
+        c4 = jax.image.resize(c4m, (B,) + shapes[2] + (self.embed_dim,), "bilinear", antialias=False)
 
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (3, self.embed_dim)

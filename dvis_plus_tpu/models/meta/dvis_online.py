@@ -56,6 +56,7 @@ class DVISOnline(nn.Module):
             mask_dim=td.hidden_dim,
             noise_ratio=self.cfg.tracker.noise_ratio,
             noise_mode=self.cfg.tracker.noise_mode,
+            matcher=self.cfg.tracker.matcher_solver,
         )
 
     def __call__(

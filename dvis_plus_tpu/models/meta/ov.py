@@ -137,6 +137,7 @@ class DVISOnlineOV(nn.Module):
             num_layers=self.cfg.tracker.num_layers,
             mask_dim=td.hidden_dim,
             noise_ratio=self.cfg.tracker.noise_ratio,
+            matcher=self.cfg.tracker.matcher_solver,
             ov=True,
             clip_embed_dim=self.cfg.ov.clip_embed_dim,
         )

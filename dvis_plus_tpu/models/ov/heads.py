@@ -45,7 +45,7 @@ def mask_pooling(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     (B, Q, C) binary-mask-averaged features (no gradient through the mask)."""
     B, H, W, C = x.shape
     if mask.shape[-2:] != (H, W):
-        mask = jax.image.resize(mask, mask.shape[:-2] + (H, W), method="bilinear")
+        mask = jax.image.resize(mask, mask.shape[:-2] + (H, W), method="bilinear", antialias=False)
     m = jax.lax.stop_gradient((mask > 0.0).astype(x.dtype))  # (B, Q, H, W)
     denom = m.sum(axis=(-1, -2), keepdims=False)[..., None] + 1e-8  # (B, Q, 1)
     return jnp.einsum("bhwc,bqhw->bqc", x, m) / denom

@@ -111,7 +111,7 @@ class OVMaskedTransformerDecoder(nn.Module):
                 "bqc,bhwc->bqhw", membd, mask_features, preferred_element_type=jnp.float32
             )
             logits = ov_head(x, mask_features, masks, text_classifier, num_templates)
-            am = jax.image.resize(masks, (BT, self.num_queries) + attn_size, method="bilinear")
+            am = jax.image.resize(masks, (BT, self.num_queries) + attn_size, method="bilinear", antialias=False)
             am = jax.nn.sigmoid(am.reshape(BT, self.num_queries, -1)) < 0.5
             all_blocked = jnp.all(am, axis=-1, keepdims=True)
             am = jnp.where(all_blocked, False, am)

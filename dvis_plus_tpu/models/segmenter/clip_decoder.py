@@ -83,7 +83,7 @@ class ClipMaskedTransformerDecoder(nn.Module):
                 "bqc,bthwc->bqthw", membd, mf, preferred_element_type=jnp.float32
             )
             am = jax.image.resize(
-                masks, (B, self.num_queries, T) + attn_size, method="bilinear"
+                masks, (B, self.num_queries, T) + attn_size, method="bilinear", antialias=False
             )
             am = jax.nn.sigmoid(am.reshape(B, self.num_queries, -1)) < 0.5
             all_blocked = jnp.all(am, axis=-1, keepdims=True)

@@ -160,7 +160,7 @@ class GroupNormConv(nn.Module):
             use_bias=False,
             name="conv",
         )(x)
-        y = nn.GroupNorm(num_groups=32, name="norm")(y)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm")(y)  # torch GN eps
         return nn.relu(y) if self.relu else y
 
 
@@ -242,7 +242,9 @@ class MSDeformAttnPixelDecoder(nn.Module):
             x = features[name]
             B, Hl, Wl, _ = x.shape
             proj = nn.Conv(self.conv_dim, (1, 1), dtype=cdt, name=f"input_proj_{i}_conv")(x)
-            proj = nn.GroupNorm(num_groups=32, dtype=cdt, name=f"input_proj_{i}_norm")(proj)
+            proj = nn.GroupNorm(
+                num_groups=32, epsilon=1e-5, dtype=cdt, name=f"input_proj_{i}_norm"
+            )(proj)  # torch GN eps (flax default 1e-6 diverges ~1e-4)
             srcs.append(proj.reshape(B, Hl * Wl, self.conv_dim))
             pe = position_embedding_sine_2d(Hl, Wl, self.conv_dim // 2)
             poss.append(pe.reshape(Hl * Wl, self.conv_dim))

@@ -202,9 +202,12 @@ class MaskedTransformerDecoder(nn.Module):
             masks = jnp.einsum(
                 "bqc,bhwc->bqhw", memb, mask_features, preferred_element_type=jnp.float32
             )
-            # attn mask for next layer: bilinear resize + sigmoid threshold
+            # attn mask for next layer: bilinear resize + sigmoid threshold.
+            # antialias=False matches F.interpolate(align_corners=False)
+            # exactly — jax's default antialias=True low-passes downsampled
+            # mask logits and flips threshold decisions near 0.5
             am = jax.image.resize(
-                masks, (BT, self.num_queries) + attn_size, method="bilinear"
+                masks, (BT, self.num_queries) + attn_size, method="bilinear", antialias=False
             )
             am = jax.nn.sigmoid(am.reshape(BT, self.num_queries, -1)) < 0.5  # True = block
             # un-block rows that block everything (reference :297)

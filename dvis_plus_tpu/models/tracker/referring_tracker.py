@@ -54,14 +54,21 @@ def init_tracker_state(B: int, Q: int, C: int, dtype=jnp.float32) -> TrackerStat
     return TrackerState(last_output=z, last_frame_embeds=z, is_first=jnp.asarray(True))
 
 
-def match_embds(ref: jnp.ndarray, cur: jnp.ndarray) -> jnp.ndarray:
-    """(Q, C) x (Q, C) -> permutation aligning cur to ref (noiser.py:43-56)."""
+def match_embds(ref: jnp.ndarray, cur: jnp.ndarray, solver: str = "auction") -> jnp.ndarray:
+    """(Q, C) x (Q, C) -> permutation aligning cur to ref (noiser.py:43-56).
+
+    solver: "auction" (default; ~1 bidding round on well-separated cosine
+    costs) or "jv" (exact sequential JV — the reference's scipy
+    linear_sum_assignment semantics, used for parity runs)."""
     ref_n = ref / (jnp.linalg.norm(ref, axis=1, keepdims=True) + 1e-6)
     cur_n = cur / (jnp.linalg.norm(cur, axis=1, keepdims=True) + 1e-6)
     C = 1.0 - cur_n @ ref_n.T  # (Q_cur, Q_ref)
     C = jnp.where(jnp.isnan(C), 0.0, C)
-    # auction solver: ~1 bidding round on well-separated cosine costs, vs a
-    # fixed O(Q) sequential Dijkstra sweep for the exact JV solver
+    if solver == "jv":
+        from dvis_plus_tpu.ops.hungarian import hungarian
+
+        q, _ = hungarian(C.T.astype(jnp.float32))
+        return q  # (Q_ref,) -> current index
     return auction_lap(C.T.astype(jnp.float32))  # (Q_ref,) -> current index
 
 
@@ -104,9 +111,10 @@ def noiser(
     activate: jnp.ndarray,
     noise_ratio: float,
     mode: str = "wa",
+    solver: str = "auction",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (indices, noised_init) (noiser.py:58-77; modes none/rs/wa/cc)."""
-    matched = match_embds(ref_embeds, cur_embeds)
+    matched = match_embds(ref_embeds, cur_embeds, solver)
     k1, k2 = jax.random.split(rng)
     use_noise = activate & (jax.random.uniform(k1) < noise_ratio)
     if mode == "none":
@@ -140,6 +148,7 @@ class _FrameStep(nn.Module):
     noise_ratio: float
     training: bool
     noise_mode: str = "wa"
+    matcher: str = "auction"  # "jv" = exact reference scipy-LSA semantics
 
     @nn.compact
     def __call__(self, carry: TrackerState, xs):
@@ -155,7 +164,9 @@ class _FrameStep(nn.Module):
         activate = jnp.asarray(self.training) & ~is_first
         mode = "wa" if self.noise_mode == "hard" else self.noise_mode
         idx, init = jax.vmap(
-            lambda r, rf, c, cn: noiser(r, rf, c, cn, activate, self.noise_ratio, mode)
+            lambda r, rf, c, cn: noiser(
+                r, rf, c, cn, activate, self.noise_ratio, mode, self.matcher
+            )
         )(jax.random.split(rng_f, B), ref_for_match, cur, cur_nn)
         init = init.astype(cur.dtype)  # noiser math may promote to fp32
         aligned_embeds = jnp.take_along_axis(cur, idx[..., None], axis=1)
@@ -208,6 +219,7 @@ class ReferringTracker(nn.Module):
     mask_dim: int = 256
     noise_ratio: float = 0.5
     noise_mode: str = "wa"  # none | rs | wa | cc ('hard' aliases 'wa')
+    matcher: str = "auction"  # frame-alignment LAP solver; "jv" for parity
     ov: bool = False
     clip_embed_dim: int = 768
 
@@ -267,6 +279,7 @@ class ReferringTracker(nn.Module):
             noise_ratio=self.noise_ratio,
             training=training,
             noise_mode=self.noise_mode,
+            matcher=self.matcher,
             name="frame_step",
         )
         final_state, (outputs, references, indices) = step(state, xs)

@@ -429,6 +429,29 @@ def _local_exact_oracle(
     return ms_deform_attn(value, spatial_shapes, loc_clamped, attention_weights)
 
 
+def _clamp_loc_level(loc, Hq, Wq, Hv, Wv, radius):
+    """Radius-clamp one (query level, value level) slice of normalized
+    sampling locations — the same clamp ``_local_exact_oracle`` applies, so
+    the gather fallback in ``_local_forward`` matches the VJP oracle (and the
+    op's documented clamp semantics) on every level.
+
+    loc: (B, Lq, M, P, 2) normalized (x, y) in [0, 1]; Lq == Hq * Wq.
+    """
+    cdt = jnp.float32
+    Lq = Hq * Wq
+    qi = jnp.arange(Lq) // Wq
+    qj = jnp.arange(Lq) % Wq
+    x = loc[..., 0].astype(cdt) * Wv - 0.5
+    y = loc[..., 1].astype(cdt) * Hv - 0.5
+    ref_y = (qi.astype(cdt) + 0.5) * (Hv / Hq)
+    ref_x = (qj.astype(cdt) + 0.5) * (Wv / Wq)
+    y = jnp.clip(y, (ref_y - radius)[None, :, None, None],
+                 (ref_y + radius)[None, :, None, None])
+    x = jnp.clip(x, (ref_x - radius)[None, :, None, None],
+                 (ref_x + radius)[None, :, None, None])
+    return jnp.stack([(x + 0.5) / Wv, (y + 0.5) / Hv], axis=-1).astype(loc.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6, 7))
 def ms_deform_attn_local(
     value: jnp.ndarray,  # (B, Len, M, D)
@@ -521,7 +544,8 @@ def _local_forward(
                     value, starts[lv], Hv * Wv, axis=1
                 )
                 sampled = _bilinear_gather_level(
-                    value_l, Hv, Wv, loc_q[:, :, :, lv]
+                    value_l, Hv, Wv,
+                    _clamp_loc_level(loc_q[:, :, :, lv], Hq, Wq, Hv, Wv, radius),
                 )  # (B, Lq, M, P, D)
                 o = jnp.einsum(
                     "blmpd,blmp->blmd",

@@ -148,3 +148,65 @@ def test_local_op_gradients_match_exact():
     g_exact = jax.grad(loss_exact, argnums=(0, 1, 2))(v, l, a)
     for gl, ge in zip(g_local, g_exact):
         np.testing.assert_allclose(np.asarray(gl), np.asarray(ge), rtol=1e-3, atol=1e-4)
+
+
+def test_gather_fallback_clamps_out_of_radius():
+    """The gather-fallback branch of _local_forward must apply the same
+    radius clamp as the VJP oracle: with offsets far outside the radius,
+    forward == _local_exact_oracle on every path split (all-gather via a
+    huge min_samples, and the mixed windowed/gather split via min_samples=0),
+    and forward/backward stay consistent (regression: the fallback used to
+    sample UNCLAMPED locations, disagreeing with the clamped VJP)."""
+    from dvis_plus_tpu.ops.msdeform_pallas import _local_exact_oracle
+
+    rng = np.random.RandomState(11)
+    B, M, D, P = 1, 2, 8, 4
+    shapes = [(16, 16), (8, 8), (4, 4)]
+    Len = sum(h * w for h, w in shapes)
+    value = rng.randn(B, Len, M, D).astype(np.float32)
+
+    refs = []
+    for (H, W) in shapes:
+        qi = (np.arange(H * W) // W + 0.5) / H
+        qj = (np.arange(H * W) % W + 0.5) / W
+        refs.append(np.stack([qj, qi], -1))
+    ref = np.concatenate(refs, 0)
+
+    loc = np.zeros((B, Len, M, len(shapes), P, 2), np.float32)
+    for lv, (H, W) in enumerate(shapes):
+        # offsets up to 12 px — far beyond radius=4 → clamp must kick in
+        off = rng.uniform(-12.0, 12.0, (B, Len, M, P, 2)).astype(np.float32)
+        loc[:, :, :, lv] = ref[None, :, None, None] + off / np.array([W, H])
+    attn = rng.rand(B, Len, M, len(shapes), P).astype(np.float32)
+    attn /= attn.sum((-1, -2), keepdims=True)
+
+    v, l, a = jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn)
+    oracle = _local_exact_oracle(v, shapes, l, a, radius=4)
+
+    for ms in (10**9, 0):  # all-gather, then mixed windowed/gather
+        got = ms_deform_attn_local(
+            v, shapes, l, a, radius=4, interpret=True,
+            precision=jax.lax.Precision.HIGHEST, min_samples=ms,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(oracle), rtol=1e-4, atol=1e-5,
+            err_msg=f"min_samples={ms}",
+        )
+
+    # gradient consistency: VJP differentiates the oracle; the forward above
+    # now matches it, so grad-of-sum-of-squares must match too
+    def loss_local(v, l, a):
+        return jnp.sum(
+            ms_deform_attn_local(
+                v, shapes, l, a, radius=4, interpret=True,
+                precision=jax.lax.Precision.HIGHEST, min_samples=10**9,
+            ) ** 2
+        )
+
+    def loss_oracle(v, l, a):
+        return jnp.sum(_local_exact_oracle(v, shapes, l, a, radius=4) ** 2)
+
+    g_local = jax.grad(loss_local, argnums=(0, 1, 2))(v, l, a)
+    g_oracle = jax.grad(loss_oracle, argnums=(0, 1, 2))(v, l, a)
+    for gl, ge in zip(g_local, g_oracle):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(ge), rtol=1e-3, atol=1e-4)

@@ -1,0 +1,328 @@
+"""detectron2 / fvcore shims so the ACTUAL reference torch modules run as
+numeric oracles on the installed CPU torch.
+
+The reference modules (DVIS_Plus/dvis_Plus/{tracker,refiner}.py,
+mask2former/modeling/pixel_decoder/msdeformattn.py,
+mask2former_video/.../video_mask2former_transformer_decoder.py, ...) are
+nearly pure torch; their only external deps are trivial detectron2/fvcore
+utilities and the MSDeformAttn CUDA extension (which falls back to
+``ms_deform_attn_core_pytorch`` on CPU, ops/functions/ms_deform_attn_func.py:52-72).
+This module:
+
+  1. installs minimal faithful shims for those deps in ``sys.modules``;
+  2. loads reference leaf modules WITHOUT executing the heavy package
+     ``__init__.py`` chains (hollow-package imports), so no detectron2 data/
+     config machinery is needed.
+
+Used by tests/test_reference_parity.py to assert end-to-end activation
+parity of the converted model against the reference implementation itself.
+
+NOTE: reads only from /root/reference (read-only mount); nothing here is
+shipped in the framework package.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import importlib
+import importlib.util
+import os
+import sys
+import types
+from typing import Callable, Dict, Optional, Union
+
+REF_ROOT = os.environ.get("DVIS_REFERENCE_ROOT", "/root/reference")
+
+
+def _mk_module(name: str, path: Optional[str] = None) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    if path is not None:
+        mod.__path__ = [path]  # mark as package for submodule imports
+    sys.modules[name] = mod
+    return mod
+
+
+def install_shims() -> None:
+    """Register detectron2 / fvcore / MSDA shims in sys.modules (idempotent)."""
+    if "detectron2" in sys.modules and getattr(
+        sys.modules["detectron2"], "__dvis_tpu_shim__", False
+    ):
+        return
+
+    import torch
+    import torch.nn.functional as F
+
+    # --- MultiScaleDeformableAttention: empty stub. The reference wraps the
+    # MSDA.* calls in try/except and falls back to the pure-torch
+    # ms_deform_attn_core_pytorch on failure (ms_deform_attn.py:117-121), so
+    # an attribute-less module is exactly the "CPU build" behavior.
+    if "MultiScaleDeformableAttention" not in sys.modules:
+        _mk_module("MultiScaleDeformableAttention")
+
+    # --- detectron2 ------------------------------------------------------
+    d2 = _mk_module("detectron2")
+    d2.__dvis_tpu_shim__ = True
+
+    # detectron2.config.configurable: with explicit kwargs (our only use) the
+    # real decorator is a pass-through to the wrapped __init__.
+    d2_config = _mk_module("detectron2.config")
+
+    def configurable(init_func=None, *, from_config=None):
+        if init_func is not None:
+            @functools.wraps(init_func)
+            def wrapped(self, *args, **kwargs):
+                return init_func(self, *args, **kwargs)
+
+            wrapped.from_config = None
+            return wrapped
+
+        def wrapper(fn):
+            return fn
+
+        return wrapper
+
+    d2_config.configurable = configurable
+
+    # detectron2.layers: Conv2d (+norm/activation), ShapeSpec, get_norm
+    d2_layers = _mk_module("detectron2.layers")
+
+    class Conv2d(torch.nn.Conv2d):
+        def __init__(self, *args, **kwargs):
+            norm = kwargs.pop("norm", None)
+            activation = kwargs.pop("activation", None)
+            super().__init__(*args, **kwargs)
+            self.norm = norm
+            self.activation = activation
+
+        def forward(self, x):
+            x = super().forward(x)
+            if self.norm is not None:
+                x = self.norm(x)
+            if self.activation is not None:
+                x = self.activation(x)
+            return x
+
+    @dataclasses.dataclass
+    class ShapeSpec:
+        channels: Optional[int] = None
+        height: Optional[int] = None
+        width: Optional[int] = None
+        stride: Optional[int] = None
+
+    def get_norm(norm: Union[str, Callable, None], out_channels: int):
+        if norm is None or norm == "":
+            return None
+        if isinstance(norm, str):
+            return {
+                "BN": lambda c: torch.nn.BatchNorm2d(c),
+                "SyncBN": lambda c: torch.nn.BatchNorm2d(c),
+                "GN": lambda c: torch.nn.GroupNorm(32, c),
+                "LN": lambda c: torch.nn.GroupNorm(1, c),
+            }[norm](out_channels)
+        return norm(out_channels)
+
+    d2_layers.Conv2d = Conv2d
+    d2_layers.ShapeSpec = ShapeSpec
+    d2_layers.get_norm = get_norm
+
+    # detectron2.utils.registry.Registry
+    d2_utils = _mk_module("detectron2.utils")
+    d2_registry = _mk_module("detectron2.utils.registry")
+
+    class Registry:
+        def __init__(self, name):
+            self._name = name
+            self._obj_map: Dict[str, object] = {}
+
+        def register(self, obj=None):
+            if obj is None:
+                def deco(cls):
+                    self._obj_map[cls.__name__] = cls
+                    return cls
+
+                return deco
+            self._obj_map[obj.__name__] = obj
+            return obj
+
+        def get(self, name):
+            return self._obj_map[name]
+
+    d2_registry.Registry = Registry
+    d2_utils.registry = d2_registry
+
+    # detectron2.modeling registries used at class-decoration time
+    d2_modeling = _mk_module("detectron2.modeling")
+    d2_modeling.SEM_SEG_HEADS_REGISTRY = Registry("SEM_SEG_HEADS")
+    d2_modeling.META_ARCH_REGISTRY = Registry("META_ARCH")
+    d2_modeling.BACKBONE_REGISTRY = Registry("BACKBONE")
+
+    d2.config = d2_config
+    d2.layers = d2_layers
+    d2.utils = d2_utils
+    d2.modeling = d2_modeling
+
+    # --- fvcore.nn.weight_init (c2_* fills, detectron2-faithful) ---------
+    fvcore = _mk_module("fvcore")
+    fvcore_nn = _mk_module("fvcore.nn")
+    weight_init = _mk_module("fvcore.nn.weight_init")
+
+    def c2_xavier_fill(module):
+        torch.nn.init.kaiming_uniform_(module.weight, a=1)
+        if module.bias is not None:
+            torch.nn.init.constant_(module.bias, 0)
+
+    def c2_msra_fill(module):
+        torch.nn.init.kaiming_normal_(module.weight, mode="fan_out", nonlinearity="relu")
+        if module.bias is not None:
+            torch.nn.init.constant_(module.bias, 0)
+
+    weight_init.c2_xavier_fill = c2_xavier_fill
+    weight_init.c2_msra_fill = c2_msra_fill
+    fvcore_nn.weight_init = weight_init
+    fvcore.nn = fvcore_nn
+
+
+def _ensure_pkg(fullname: str, path: str) -> None:
+    """Register ``fullname`` as a hollow package rooted at ``path`` without
+    executing its __init__.py (the reference package inits pull in the full
+    detectron2 data/config surface we don't want)."""
+    if fullname not in sys.modules:
+        _mk_module(fullname, path)
+
+
+def load_ref_module(repo: str, modname: str) -> types.ModuleType:
+    """Import reference module ``modname`` (e.g. 'dvis_Plus.tracker') from
+    reference repo ``repo`` (e.g. 'DVIS_Plus'), executing only the leaf
+    module files — every ancestor package is registered hollow."""
+    install_shims()
+    root = os.path.join(REF_ROOT, repo)
+    parts = modname.split(".")
+    for i in range(1, len(parts)):
+        pkg = ".".join(parts[:i])
+        _ensure_pkg(pkg, os.path.join(root, *parts[:i]))
+    if modname in sys.modules:
+        return sys.modules[modname]
+    return importlib.import_module(modname)
+
+
+def load_dvis_plus_oracles():
+    """Import the DVIS++ reference modules needed for activation parity and
+    return them as a dict. Wires cross-package attribute imports by hand
+    (the hollow packages skip the real __init__.py re-exports)."""
+    install_shims()
+    repo = "DVIS_Plus"
+
+    # bottom-up: ops/functions first (ms_deform_attn.py does
+    # `from ..functions import MSDeformAttnFunction`)
+    func_mod = load_ref_module(
+        repo, "mask2former.modeling.pixel_decoder.ops.functions.ms_deform_attn_func"
+    )
+    funcs_pkg = sys.modules["mask2former.modeling.pixel_decoder.ops.functions"]
+    funcs_pkg.MSDeformAttnFunction = func_mod.MSDeformAttnFunction
+    funcs_pkg.ms_deform_attn_func = func_mod
+
+    msda_mod = load_ref_module(
+        repo, "mask2former.modeling.pixel_decoder.ops.modules.ms_deform_attn"
+    )
+    mods_pkg = sys.modules["mask2former.modeling.pixel_decoder.ops.modules"]
+    mods_pkg.MSDeformAttn = msda_mod.MSDeformAttn
+
+    pix_mod = load_ref_module(repo, "mask2former.modeling.pixel_decoder.msdeformattn")
+    vid_dec_mod = load_ref_module(
+        repo,
+        "mask2former_video.modeling.transformer_decoder.video_mask2former_transformer_decoder",
+    )
+    dvis_dec_mod = load_ref_module(repo, "dvis_Plus.video_mask2former_transformer_decoder")
+    tracker_mod = load_ref_module(repo, "dvis_Plus.tracker")
+    refiner_mod = load_ref_module(repo, "dvis_Plus.refiner")
+
+    return {
+        "ms_deform_attn_core_pytorch": func_mod.ms_deform_attn_core_pytorch,
+        "MSDeformAttn": msda_mod.MSDeformAttn,
+        "MSDeformAttnPixelDecoder": pix_mod.MSDeformAttnPixelDecoder,
+        "VideoMultiScaleMaskedTransformerDecoder": (
+            vid_dec_mod.VideoMultiScaleMaskedTransformerDecoder
+        ),
+        "VideoMultiScaleMaskedTransformerDecoder_dvisPlus": (
+            dvis_dec_mod.VideoMultiScaleMaskedTransformerDecoder_dvisPlus
+        ),
+        "VideoMultiScaleMaskedTransformerDecoder_minvis": (
+            dvis_dec_mod.VideoMultiScaleMaskedTransformerDecoder_minvis
+        ),
+        "ReferringTracker_noiser": tracker_mod.ReferringTracker_noiser,
+        "TemporalRefiner": refiner_mod.TemporalRefiner,
+        "ShapeSpec": sys.modules["detectron2.layers"].ShapeSpec,
+    }
+
+
+def build_torch_d2_resnet50():
+    """Torch oracle replicating detectron2's caffe-style ResNet-50 backbone
+    (stride-in-1x1 bottlenecks, BN frozen via .eval(), 7x7 stem + maxpool)
+    with d2 state-dict naming (stem.conv1.norm.*, res{2-5}.{i}.conv{1-3}.*,
+    shortcut.*) so reference-keyed checkpoints load with strict=True.
+
+    Used only as a parity oracle for convert_d2_resnet — the reference
+    backbone itself lives in the (uninstalled) detectron2 package."""
+    install_shims()
+    import torch
+    from torch import nn
+    import torch.nn.functional as F
+
+    Conv2d = sys.modules["detectron2.layers"].Conv2d
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, cb, cout, stride):
+            super().__init__()
+            self.conv1 = Conv2d(cin, cb, 1, stride=stride, bias=False,
+                                norm=nn.BatchNorm2d(cb))
+            self.conv2 = Conv2d(cb, cb, 3, stride=1, padding=1, bias=False,
+                                norm=nn.BatchNorm2d(cb))
+            self.conv3 = Conv2d(cb, cout, 1, bias=False, norm=nn.BatchNorm2d(cout))
+            if stride != 1 or cin != cout:
+                self.shortcut = Conv2d(cin, cout, 1, stride=stride, bias=False,
+                                       norm=nn.BatchNorm2d(cout))
+            else:
+                self.shortcut = None
+
+        def forward(self, x):
+            sc = self.shortcut(x) if self.shortcut is not None else x
+            y = F.relu(self.conv1(x))
+            y = F.relu(self.conv2(y))
+            y = self.conv3(y)
+            return F.relu(y + sc)
+
+    class Stem(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = Conv2d(3, 64, 7, stride=2, padding=3, bias=False,
+                                norm=nn.BatchNorm2d(64))
+
+        def forward(self, x):
+            x = F.relu(self.conv1(x))
+            return F.max_pool2d(x, kernel_size=3, stride=2, padding=1)
+
+    class R50(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = Stem()
+            depths = (3, 4, 6, 3)
+            cin = 64
+            for s, depth in enumerate(depths):
+                cb = 64 * (2 ** s)
+                cout = cb * 4
+                blocks = []
+                for b in range(depth):
+                    stride = 2 if (b == 0 and s > 0) else 1
+                    blocks.append(Bottleneck(cin if b == 0 else cout, cb, cout, stride))
+                setattr(self, f"res{s + 2}", nn.Sequential(*blocks))
+                cin = cout
+
+        def forward(self, x):
+            x = self.stem(x)
+            outs = {}
+            for s in range(4):
+                x = getattr(self, f"res{s + 2}")(x)
+                outs[f"res{s + 2}"] = x
+            return outs
+
+    return R50()
