@@ -303,18 +303,28 @@ def _offline_refine(cfg, model, params, window_fns, pred_cls, full_masks,
 
     Qr = max(topk, 1)
     inst = _pad_rows(sel_emb, Qr)  # (Qr, T, C)
+    # length-bucketed T^2 embed pass (inference._bucket_windows): replicate
+    # the last REAL frame for both streams and mask padded frames in-graph
+    from dvis_plus_tpu.engine.inference import _bucket_windows
+
+    nb = _bucket_windows(n_windows)
+    Tb = nb * W_sz
     inst_pad = np.concatenate(
-        [inst, np.tile(inst[:, -1:], (1, pad_T - T, 1))], axis=1
+        [inst, np.tile(inst[:, -1:], (1, Tb - T, 1))], axis=1
     )
+    frame_embeds = np.concatenate(
+        [frame_embeds[:T], np.tile(frame_embeds[T - 1 : T], (Tb - T, 1, 1))], axis=0
+    )
+    time_mask = np.arange(Tb) < T
     inst_mask = np.zeros((Qr,), bool)
     inst_mask[: N] = True
 
     if "daq_refine" not in window_fns:
 
         @jax.jit
-        def refine_embeds(params, inst, frame, imask):
+        def refine_embeds(params, inst, frame, imask, tmask):
             out = model.apply(
-                params, inst, frame, imask,
+                params, inst, frame, imask, tmask,
                 method=type(model).refine_embeds,
             )
             return out["pred_logits"][0], out["mask_embed"][0]
@@ -331,9 +341,10 @@ def _offline_refine(cfg, model, params, window_fns, pred_cls, full_masks,
 
     r_logits, membd = refine_embeds(
         params,
-        jnp.asarray(inst_pad.swapaxes(0, 1)[None]),  # (1, pad_T, Qr, C)
+        jnp.asarray(inst_pad.swapaxes(0, 1)[None]),  # (1, Tb, Qr, C)
         jnp.asarray(frame_embeds[None]),
         jnp.asarray(inst_mask[None]),
+        jnp.asarray(time_mask[None]),
     )
     masks_l = []
     for w in range(n_windows):

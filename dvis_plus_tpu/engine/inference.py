@@ -57,6 +57,8 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
 
         if arch in ("minvis", "ctvis"):
             out = _minvis_video(cfg, model, params, images, window_fns, W_sz)
+        elif arch in ("maskformer", "video_maskformer"):
+            out = _clipformer_video(cfg, model, params, images, window_fns, W_sz)
         else:
             out = _online_video(cfg, model, params, images, window_fns, W_sz)
 
@@ -94,6 +96,8 @@ def video_logits_masks(cfg: Config, model, params, images, window_fns, W_sz):
         return daq_video_logits_masks(cfg, model, params, images, window_fns)
     if arch in ("minvis", "ctvis"):
         return _minvis_video(cfg, model, params, images, window_fns, W_sz)
+    if arch in ("maskformer", "video_maskformer"):
+        return _clipformer_video(cfg, model, params, images, window_fns, W_sz)
     return _online_video(cfg, model, params, images, window_fns, W_sz)
 
 
@@ -177,6 +181,27 @@ def run_vss_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
         )
 
 
+def _bucket_windows(n_windows: int) -> int:
+    """Next power-of-two window count. The refiner's full-video embed pass and
+    the MinVIS post-processing jit-compile per distinct padded length; a real
+    val set has tens of distinct lengths, each a fresh multi-minute XLA
+    compile. Bucketing bounds the number of compiles at O(log max_T) — the
+    padded frames replicate the last real frame and are masked out in-graph,
+    so real-frame results equal the unpadded run (the reference relies on
+    torch dynamic shapes instead, meta_architecture.py:1446-1500)."""
+    return 1 << max(n_windows - 1, 0).bit_length()
+
+
+def _pad_time_replicate(x: jnp.ndarray, T_real: int, Tb: int, axis: int) -> jnp.ndarray:
+    """Slice to T_real then replicate the last REAL frame out to Tb along
+    ``axis``. Replicate (not zero) padding preserves the refiner's
+    replicate-conv boundary semantics exactly (temporal_refiner._body)."""
+    x = jax.lax.slice_in_dim(x, 0, T_real, axis=axis)
+    last = jax.lax.slice_in_dim(x, T_real - 1, T_real, axis=axis)
+    reps = jnp.concatenate([last] * (Tb - T_real), axis=axis) if Tb > T_real else None
+    return x if reps is None else jnp.concatenate([x, reps], axis=axis)
+
+
 def _pad_to(images: np.ndarray, pad_T: int) -> np.ndarray:
     T = images.shape[0]
     if T == pad_T:
@@ -208,14 +233,49 @@ def _minvis_video(cfg, model, params, images, window_fns, W_sz):
         logits_l.append(lg)
         masks_l.append(mk)
         embds_l.append(em)
-    logits = jnp.concatenate(logits_l, axis=0)[:T]
-    masks = jnp.concatenate(masks_l, axis=0)[:T]
-    embds = jnp.concatenate(embds_l, axis=0)[:T]
+    logits = jnp.concatenate(logits_l, axis=0)
+    masks = jnp.concatenate(masks_l, axis=0)
+    embds = jnp.concatenate(embds_l, axis=0)
 
     from dvis_plus_tpu.models.meta.minvis import minvis_post_processing
 
-    mean_logits, aligned = jax.jit(minvis_post_processing)(logits, masks, embds)
+    # bucket the post-processing length (see _bucket_windows) and mask the
+    # mean over the true T; the frame-alignment scan is causal, so replicated
+    # pad frames never affect real-frame alignment
+    Tb = _bucket_windows(n_windows) * W_sz
+    logits = _pad_time_replicate(logits, T, Tb, 0)
+    masks = _pad_time_replicate(masks, T, Tb, 0)
+    embds = _pad_time_replicate(embds, T, Tb, 0)
+    valid = jnp.arange(Tb) < T
+    if "minvis_pp" not in window_fns:
+        window_fns["minvis_pp"] = jax.jit(minvis_post_processing)
+    mean_logits, aligned = window_fns["minvis_pp"](logits, masks, embds, valid)
     return mean_logits, aligned
+
+
+def _clipformer_video(cfg, model, params, images, window_fns, W_sz):
+    """(Video)MaskFormer clip pretraining models: whole-video joint clip
+    decode (the reference evaluates the full video in ONE forward,
+    video_maskformer_model.py; queries are shared across frames so no
+    cross-frame association step is needed). Video length is bucketed to
+    bound compiles; padded frames replicate the last frame and are sliced
+    away by the caller."""
+    T = images.shape[0]
+    n_windows = (T + W_sz - 1) // W_sz
+    Tb = _bucket_windows(n_windows) * W_sz
+    images = _pad_to(images, Tb)
+
+    key = ("clipformer",)
+    if key not in window_fns:
+        @jax.jit
+        def full(params, imgs):
+            out = model.apply(params, imgs[None])
+            return out["pred_logits"][0], out["pred_masks"][0]
+
+        window_fns[key] = full
+    logits, masks = window_fns[key](params, jnp.asarray(images))
+    # (Q, K+1), (Q, Tb, H4, W4)
+    return logits, masks[:, :T]
 
 
 def _online_video(cfg, model, params, images, window_fns, W_sz):
@@ -289,11 +349,22 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
         inst_l.append(inst)
         frame_l.append(frame)
         mf_host.append(mf if keep_on_device else np.asarray(mf))
-    online_logits = jnp.concatenate(online_logits_l, axis=0)  # (T', Q, K+1)
+    online_logits = jnp.concatenate(online_logits_l, axis=0)[:T]  # (T, Q, K+1)
     inst = jnp.concatenate(inst_l, axis=1)
     frame = jnp.concatenate(frame_l, axis=1)
 
-    refine_key = ("refine_embeds", inst.shape[1])
+    # bucket the T^2 embed pass (see _bucket_windows): pad the time axis by
+    # replicating the last REAL frame and mask it in-graph — real-frame
+    # outputs match the unpadded (true-T) reference run exactly, which also
+    # removes the tail-window image-padding frames from the refiner's
+    # temporal attention (they previously attended as real frames)
+    nb = _bucket_windows(n_windows)
+    Tb = nb * W_sz
+    inst = _pad_time_replicate(inst, T, Tb, 1)
+    frame = _pad_time_replicate(frame, T, Tb, 1)
+    time_mask = (jnp.arange(Tb) < T)[None]
+
+    refine_key = ("refine_embeds", nb)
     if refine_key not in window_fns:
         n_sp = getattr(cfg.test, "refiner_shard_devices", 0)
         if n_sp > 1 and len(jax.devices()) >= n_sp:
@@ -305,13 +376,18 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
             sp_mesh = build_mesh(jax.devices()[:n_sp])
 
             @jax.jit
-            def refine_embeds(params, inst, frame):
-                out = refiner_embed_pass_sharded(model, params, inst, frame, sp_mesh)
+            def refine_embeds(params, inst, frame, time_mask):
+                out = refiner_embed_pass_sharded(
+                    model, params, inst, frame, sp_mesh, time_mask=time_mask
+                )
                 return out["pred_logits"][0], out["mask_embed"][0]
         else:
             @jax.jit
-            def refine_embeds(params, inst, frame):
-                out = model.apply(params, inst, frame, method=type(model).refine_embeds)
+            def refine_embeds(params, inst, frame, time_mask):
+                out = model.apply(
+                    params, inst, frame, time_mask,
+                    method=type(model).refine_embeds,
+                )
                 return out["pred_logits"][0], out["mask_embed"][0]
 
         @jax.jit
@@ -322,7 +398,7 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
 
         window_fns[refine_key] = (refine_embeds, mask_win)
     refine_embeds, mask_win = window_fns[refine_key]
-    r_logits, membd = refine_embeds(params, inst, frame)  # (Q,K+1), (T',Q,Cm)
+    r_logits, membd = refine_embeds(params, inst, frame, time_mask)  # (Q,K+1), (Tb,Q,Cm)
 
     masks_l = []
     for i in range(n_windows):

@@ -124,11 +124,17 @@ def _minvis_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
         mk.append(b)
         em.append(c)
     from dvis_plus_tpu.models.meta.minvis import minvis_post_processing
+    from dvis_plus_tpu.engine.inference import _bucket_windows, _pad_time_replicate
 
-    logits = jnp.concatenate(lg, 0)[:T]
-    masks = jnp.concatenate(mk, 0)[:T]
-    embds = jnp.concatenate(em, 0)[:T]
-    mean_logits, aligned = jax.jit(minvis_post_processing)(logits, masks, embds)
+    # length-bucketed post-processing (see inference._bucket_windows)
+    Tb = _bucket_windows(n_windows) * W_sz
+    logits = _pad_time_replicate(jnp.concatenate(lg, 0), T, Tb, 0)
+    masks = _pad_time_replicate(jnp.concatenate(mk, 0), T, Tb, 0)
+    embds = _pad_time_replicate(jnp.concatenate(em, 0), T, Tb, 0)
+    valid = jnp.arange(Tb) < T
+    if "minvis_pp" not in fns:
+        fns["minvis_pp"] = jax.jit(minvis_post_processing)
+    mean_logits, aligned = fns["minvis_pp"](logits, masks, embds, valid)
     return mean_logits, aligned
 
 
@@ -205,8 +211,10 @@ def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, al
             )
 
         @jax.jit
-        def refine_embeds(params, inst, frame):
-            out = model.apply(params, inst, frame, method=type(model).refine_embeds)
+        def refine_embeds(params, inst, frame, time_mask):
+            out = model.apply(
+                params, inst, frame, time_mask, method=type(model).refine_embeds
+            )
             return out["fused"], out["mask_embed"]
 
         @jax.jit
@@ -258,9 +266,14 @@ def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, al
         frame_l.append(frame)
         mf_host.append(np.asarray(mf))
         clip_host.append(np.asarray(clip_d))
-    inst = jnp.concatenate(inst_l, axis=1)
-    frame = jnp.concatenate(frame_l, axis=1)
-    fused, membd = refine_embeds(params, inst, frame)
+    from dvis_plus_tpu.engine.inference import _bucket_windows, _pad_time_replicate
+
+    # length-bucketed T^2 embed pass (see inference._bucket_windows)
+    Tb = _bucket_windows(n_windows) * W_sz
+    inst = _pad_time_replicate(jnp.concatenate(inst_l, axis=1), T, Tb, 1)
+    frame = _pad_time_replicate(jnp.concatenate(frame_l, axis=1), T, Tb, 1)
+    time_mask = (jnp.arange(Tb) < T)[None]
+    fused, membd = refine_embeds(params, inst, frame, time_mask)
 
     masks_l, out_lg = [], []
     mf_sum = 0.0

@@ -192,6 +192,20 @@ def build_loss_fn(cfg: Config, model, text_classifier=None, num_templates=None) 
 
         return loss_fn
 
+    if arch in ("maskformer", "video_maskformer"):
+        # image (T=1) / clip-joint Mask2Former pretraining (reference
+        # maskformer_model.py:20-21, video_maskformer_model.py:24-25)
+        from dvis_plus_tpu.models.meta.video_maskformer import (
+            video_maskformer_train_loss,
+        )
+
+        def loss_fn(params, batch: Batch, rng, step, memory):
+            out = model.apply(params, batch.images)
+            losses = video_maskformer_train_loss(rng, out, batch.targets, ccfg)
+            return sum(jax.tree.leaves(losses)), (losses, memory)
+
+        return loss_fn
+
     if arch == "dvis_online":
         from dvis_plus_tpu.models.meta.dvis_online import dvis_online_train_loss
 

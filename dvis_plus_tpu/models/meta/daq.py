@@ -286,11 +286,11 @@ class DAQOffline(nn.Module):
             instance_mask=topk_mask,
         )
 
-    def refine_embeds(self, slot_embeds, frame_embeds, topk_mask):
+    def refine_embeds(self, slot_embeds, frame_embeds, topk_mask, time_mask=None):
         """HBM-bounded refiner pass (no mask features); pair with
         :meth:`refine_mask_window` per time chunk."""
         return self.refiner.embed_pass(
-            slot_embeds, frame_embeds, instance_mask=topk_mask
+            slot_embeds, frame_embeds, instance_mask=topk_mask, time_mask=time_mask
         )
 
     def refine_mask_window(self, mask_embed, mask_features):

@@ -114,11 +114,11 @@ class DVISOffline(nn.Module):
         """Full-video refiner pass over accumulated window outputs (:1497)."""
         return self.refiner(instance_embeds, frame_embeds, mask_features, training=False)
 
-    def refine_embeds(self, instance_embeds, frame_embeds):
+    def refine_embeds(self, instance_embeds, frame_embeds, time_mask=None):
         """Embeds-only refiner pass (no mask features in HBM) — pair with
         :meth:`refine_mask_window` per time chunk; the TPU-native form of the
         reference's windowed mask prediction (refiner.py:169-194)."""
-        return self.refiner.embed_pass(instance_embeds, frame_embeds)
+        return self.refiner.embed_pass(instance_embeds, frame_embeds, time_mask=time_mask)
 
     def refine_mask_window(self, mask_embed, mask_features):
         """Mask head on one time window (B, Tw, ...) -> (B, Q, Tw, H, W)."""

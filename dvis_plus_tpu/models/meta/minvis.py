@@ -85,9 +85,12 @@ def minvis_post_processing(
     pred_logits: jnp.ndarray,  # (T, Q, K+1)
     pred_masks: jnp.ndarray,  # (T, Q, H, W)
     pred_embds: jnp.ndarray,  # (T, Q, C)
+    valid: Optional[jnp.ndarray] = None,  # (T,) bool; False = padded frame
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frame-by-frame embedding alignment; returns (mean logits (Q, K+1),
-    aligned masks (Q, T, H, W))."""
+    aligned masks (Q, T, H, W)). ``valid`` supports length-bucketed padding:
+    the class mean runs over true frames only (alignment is a causal scan, so
+    trailing pad frames never affect real frames)."""
 
     def step(carry, xs):
         prev_embds = carry
@@ -103,7 +106,12 @@ def minvis_post_processing(
     )
     logits_all = jnp.concatenate([pred_logits[:1], logits_rest], axis=0)
     masks_all = jnp.concatenate([pred_masks[:1], masks_rest], axis=0)
-    return logits_all.mean(axis=0), jnp.swapaxes(masks_all, 0, 1)
+    if valid is None:
+        mean_logits = logits_all.mean(axis=0)
+    else:
+        w = valid.astype(logits_all.dtype)[:, None, None]
+        mean_logits = (logits_all * w).sum(axis=0) / jnp.maximum(w.sum(), 1.0)
+    return mean_logits, jnp.swapaxes(masks_all, 0, 1)
 
 
 class VideoInference(NamedTuple):

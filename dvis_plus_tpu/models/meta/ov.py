@@ -243,8 +243,8 @@ class DVISOfflineOV(nn.Module):
     def online_forward(self, images, text_classifier, num_templates, state=None):
         return self.online(images, text_classifier, num_templates, state=state)
 
-    def refine_embeds(self, instance_embeds, frame_embeds):
-        return self.refiner.embed_pass(instance_embeds, frame_embeds)
+    def refine_embeds(self, instance_embeds, frame_embeds, time_mask=None):
+        return self.refiner.embed_pass(instance_embeds, frame_embeds, time_mask=time_mask)
 
     def refine_mask_window(self, mask_embed, mask_features):
         return self.refiner.mask_window(mask_embed, mask_features)

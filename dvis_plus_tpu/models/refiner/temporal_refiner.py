@@ -45,17 +45,39 @@ from dvis_plus_tpu.models.segmenter.transformer_decoder import (
 
 
 class TemporalConvBlock(nn.Module):
-    """conv1d(k5) -> relu -> conv1d(k3), replicate padding, residual + LN."""
+    """conv1d(k5) -> relu -> conv1d(k3), replicate padding, residual + LN.
+
+    ``time_ok`` (B', T) supports length-bucketed eval: before EACH conv the
+    pad region is overwritten with the last real frame's values, so every
+    conv sees exactly the replicate boundary the reference sees at the true
+    length (`padding_mode='replicate'`, refiner.py:42-52). The reset must
+    happen between the two convs as well — conv1's outputs at pad positions
+    straddle the real/pad boundary and are NOT replicas of the last real
+    output."""
 
     dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, time_ok: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         # x: (B', T, C) — conv over T; AMP follows the caller's cast
         d = x.dtype
-        y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
+
+        if time_ok is not None:
+            last_idx = jnp.sum(time_ok, axis=1).astype(jnp.int32) - 1
+
+            def fix(z):
+                last = jnp.take_along_axis(z, last_idx[:, None, None], axis=1)
+                return jnp.where(time_ok[:, :, None], z, last)
+        else:
+            fix = lambda z: z
+
+        y = fix(x)
+        y = jnp.pad(y, ((0, 0), (2, 2), (0, 0)), mode="edge")
         y = nn.Conv(self.dim, (5,), padding="VALID", dtype=d, name="conv1")(y)
         y = nn.relu(y)
+        y = fix(y)
         y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
         y = nn.Conv(self.dim, (3,), padding="VALID", dtype=d, name="conv2")(y)
         return nn.LayerNorm(epsilon=1e-5, dtype=d, name="norm")(x + y)
@@ -119,8 +141,19 @@ class TemporalRefiner(nn.Module):
         frame_embeds: jnp.ndarray,  # (B, T, fQ, C)
         instance_mask: Optional[jnp.ndarray] = None,  # (B, Q) False = padded
         axis_name: Optional[str] = None,  # sequence-parallel: Q is a shard
+        time_mask: Optional[jnp.ndarray] = None,  # (B, T) False = padded frame
     ) -> jnp.ndarray:
         """Returns stacked per-layer outputs (L, B, T, Q, C).
+
+        ``time_mask`` supports length-bucketed eval under static shapes: pad
+        frames are excluded as KEYS in the temporal self-attention. Callers
+        must pad the time axis by REPLICATING the frame at the last valid
+        index — then the replicate-padded temporal conv sees exactly the
+        reference's `padding_mode='replicate'` boundary (refiner.py:42-52)
+        and every real-frame activation equals the unpadded run bit-for-bit
+        (pointwise ops preserve the "pad == last frame" invariant, and a pad
+        query identical to the last frame's produces its exact attention
+        output).
 
         With ``axis_name`` set (inside ``shard_map``), ``instance_embeds``
         holds this device's OBJECT shard: the temporal attention, conv, FFN
@@ -135,14 +168,20 @@ class TemporalRefiner(nn.Module):
             key_ok = jnp.repeat(instance_mask, T, axis=0)  # (B*T, Q_total)
             obj_mask = jnp.where(key_ok[:, None, None, :], 0.0, -1e9)
 
+        tmask_bias = None
+        key_ok_t = None
+        if time_mask is not None:
+            key_ok_t = jnp.repeat(time_mask, Q, axis=0)  # (B*Q, T)
+            tmask_bias = jnp.where(key_ok_t[:, None, None, :], 0.0, -1e9)
+
         output = instance_embeds
         layer_outputs = []
         for i in range(self.num_layers):
             # 1) temporal self-attention: batch (B*Q), sequence T
             x = jnp.swapaxes(output, 1, 2).reshape(B * Q, T, C)
-            x = self.time_self_layers[i](x, jnp.zeros_like(x))
-            # 2) short-term conv over T
-            x = self.conv_layers[i](x)
+            x = self.time_self_layers[i](x, jnp.zeros_like(x), tmask_bias)
+            # 2) short-term conv over T (replicate-boundary reset inside)
+            x = self.conv_layers[i](x, key_ok_t)
             # 3) object self-attention: batch (B*T), sequence Q
             x = x.reshape(B, Q, T, C).swapaxes(1, 2).reshape(B * T, Q, C)
             if axis_name is None:
@@ -163,10 +202,16 @@ class TemporalRefiner(nn.Module):
             layer_outputs.append(output)
         return jnp.stack(layer_outputs, axis=0)
 
-    def _pred_class(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _pred_class(
+        self, x: jnp.ndarray, time_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         """Activation-weighted temporal pooling -> per-frame duplicated logits
-        (reference pred_class :196-210). x: normalized (L', B, T, Q, C)."""
-        act = jax.nn.softmax(self.activation_proj(x), axis=2)  # (L', B, T, Q, 1)
+        (reference pred_class :196-210). x: normalized (L', B, T, Q, C);
+        padded frames (time_mask False) are excluded from the softmax."""
+        a = self.activation_proj(x)  # (L', B, T, Q, 1)
+        if time_mask is not None:
+            a = jnp.where(time_mask[None, :, :, None, None], a, -1e9)
+        act = jax.nn.softmax(a, axis=2)  # (L', B, T, Q, 1)
         fused = jnp.sum(x * act, axis=2, keepdims=True)  # (L', B, 1, Q, C)
         return fused
 
@@ -238,6 +283,7 @@ class TemporalRefiner(nn.Module):
         frame_embeds: jnp.ndarray,  # (B, T, fQ, C)
         instance_mask: Optional[jnp.ndarray] = None,  # (B, Q)
         axis_name: Optional[str] = None,  # see _body: Q-sharded under shard_map
+        time_mask: Optional[jnp.ndarray] = None,  # (B, T) — see _body
     ) -> Dict[str, jnp.ndarray]:
         """Eval-time pass over embeds only — no mask features touched, so HBM
         is O(T·Q·C). Returns the final-layer class logits and the mask-head
@@ -245,9 +291,11 @@ class TemporalRefiner(nn.Module):
         replacement for reference ``windows_prediction`` refiner.py:169-194).
         For long videos on a mesh use
         :func:`dvis_plus_tpu.parallel.sp.refiner_embed_pass_sharded`."""
-        outs = self._body(instance_embeds, frame_embeds, instance_mask, axis_name)
+        outs = self._body(
+            instance_embeds, frame_embeds, instance_mask, axis_name, time_mask
+        )
         x = self.decoder_norm(outs[-1:])  # (1, B, T, Q, C)
-        fused = self._pred_class(x)
+        fused = self._pred_class(x, time_mask)
         if self.ov:
             membd = self.mask_embed(x)
             # OV classification needs mask pooling; return the pieces and let

@@ -36,6 +36,7 @@ def refiner_embed_pass_sharded(
     mesh: Mesh,
     axis: str = "data",
     instance_mask: Optional[jnp.ndarray] = None,  # (B, Q)
+    time_mask: Optional[jnp.ndarray] = None,  # (B, T) — bucketed-length mask
     method=None,  # bound method to call; defaults to refiner.embed_pass via
     # model.apply(..., method=method) — must accept axis_name
 ) -> Dict[str, jnp.ndarray]:
@@ -47,6 +48,8 @@ def refiner_embed_pass_sharded(
 
     if instance_mask is None:
         instance_mask = jnp.ones((B, Q), bool)
+    if time_mask is None:
+        time_mask = jnp.ones((B, T), bool)
     if Qp != Q:
         instance_embeds = jnp.pad(
             instance_embeds, ((0, 0), (0, 0), (0, Qp - Q), (0, 0))
@@ -54,19 +57,19 @@ def refiner_embed_pass_sharded(
         instance_mask = jnp.pad(instance_mask, ((0, 0), (0, Qp - Q)))
 
     if method is None:
-        method = lambda m, ie, fe, im: m.refiner.embed_pass(
-            ie, fe, instance_mask=im, axis_name=axis
+        method = lambda m, ie, fe, im, tm: m.refiner.embed_pass(
+            ie, fe, instance_mask=im, axis_name=axis, time_mask=tm
         )
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(None, None, axis, None), P(), P()),
+        in_specs=(P(), P(None, None, axis, None), P(), P(), P()),
         out_specs=P(None, None, axis),
         check_vma=False,
     )
-    def run(p, ie, fe, im):
-        out = model.apply(p, ie, fe, im, method=method)
+    def run(p, ie, fe, im, tm):
+        out = model.apply(p, ie, fe, im, tm, method=method)
         # normalize every output to Q-sharded axis 2: (B, T|1, Qlocal, X)
         def fix(k, v):
             if k == "pred_logits":  # (B, Qlocal, K+1) -> add time axis slot
@@ -74,7 +77,7 @@ def refiner_embed_pass_sharded(
             return v
         return {k: fix(k, v) for k, v in out.items()}
 
-    out = run(params, instance_embeds, frame_embeds, instance_mask)
+    out = run(params, instance_embeds, frame_embeds, instance_mask, time_mask)
     if "pred_logits" in out:
         out["pred_logits"] = out["pred_logits"][:, 0]  # drop the dummy axis
     if Qp != Q:

@@ -191,3 +191,91 @@ def test_color_jitter_augs():
         np.testing.assert_array_equal(t.apply_mask(mask), mask)
     t = RandomBrightness(1.2, 1.2).sample(8, 8, rng)
     assert t.apply_image(img).max() == 120
+
+
+@pytest.mark.parametrize("arch,T", [("maskformer", 1), ("video_maskformer", 2)])
+def test_maskformer_pretraining_train_steps(arch, T, synth_coco, tmp_path):
+    """The registered (Video)MaskFormer pretraining meta-archs train through
+    the same CLI machinery as the other families (reference
+    maskformer_model.py:20-21, video_maskformer_model.py:24-25): COCO
+    pseudo-video clips, a couple of optimizer steps, finite losses."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvis_plus_tpu.data.build import build_combined_train_loader
+    from dvis_plus_tpu.engine.trainer import Batch, build_train_step
+    from dvis_plus_tpu.losses.targets import VideoTargets
+    from train_net_video import build_model, init_params
+
+    cfg = make_cfg()
+    cfg.model.meta_architecture = arch
+    cfg.model.num_classes = 3
+    cfg.model.compute_dtype = "float32"
+    cfg.model.pixel_decoder.conv_dim = 32
+    cfg.model.pixel_decoder.mask_dim = 32
+    cfg.model.pixel_decoder.transformer_enc_layers = 1
+    cfg.model.pixel_decoder.transformer_dim_feedforward = 64
+    cfg.model.transformer_decoder.hidden_dim = 32
+    cfg.model.transformer_decoder.num_queries = 8
+    cfg.model.transformer_decoder.nheads = 4
+    cfg.model.transformer_decoder.dim_feedforward = 64
+    cfg.model.transformer_decoder.dec_layers = 2
+    cfg.model.transformer_decoder.mask_dim = 32
+    cfg.model.criterion.train_num_points = 64
+    cfg.input.sampling_frame_num = T
+    cfg.input.sampling_frame_range = 0
+    cfg.datasets.train = ("coco_2017_train_panoptic",)
+    cfg.datasets.dataset_type = ("video_panoptic",)
+    cfg.solver.ims_per_batch = 1
+    cfg.solver.max_iter = 2
+
+    model = build_model(cfg)
+    params = init_params(cfg, model, jax.random.key(0))
+    train_step, init_state = build_train_step(cfg, model)
+    state = init_state(params)
+    loader = build_combined_train_loader(cfg, seed=0)
+    for _ in range(2):
+        raw = next(loader)
+        batch = Batch(
+            images=jnp.asarray(raw["images"]),
+            targets=VideoTargets(
+                labels=jnp.asarray(raw["labels"]),
+                masks=jnp.asarray(raw["masks"]),
+                valid=jnp.asarray(raw["valid"]),
+                frame_valid=jnp.asarray(raw["frame_valid"]),
+            ),
+        )
+        state, metrics = train_step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state.step) == 2
+
+
+def test_maskformer_eval_clip_route(synth_coco, tmp_path):
+    """video_maskformer evaluates VIS end-to-end via the whole-video clip
+    decode route (engine/inference._clipformer_video)."""
+    import jax
+    from dvis_plus_tpu.engine.inference import video_logits_masks
+    from train_net_video import build_model
+
+    cfg = make_cfg()
+    cfg.model.meta_architecture = "video_maskformer"
+    cfg.model.num_classes = 3
+    cfg.model.compute_dtype = "float32"
+    cfg.model.pixel_decoder.conv_dim = 32
+    cfg.model.pixel_decoder.mask_dim = 32
+    cfg.model.pixel_decoder.transformer_enc_layers = 1
+    cfg.model.pixel_decoder.transformer_dim_feedforward = 64
+    cfg.model.transformer_decoder.hidden_dim = 32
+    cfg.model.transformer_decoder.num_queries = 8
+    cfg.model.transformer_decoder.nheads = 4
+    cfg.model.transformer_decoder.dim_feedforward = 64
+    cfg.model.transformer_decoder.dec_layers = 2
+    cfg.model.transformer_decoder.mask_dim = 32
+
+    model = build_model(cfg)
+    import jax.numpy as jnp
+
+    images5 = np.random.RandomState(0).rand(3, 64, 64, 3).astype(np.float32)
+    params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(images5)[None])
+    logits, masks = video_logits_masks(cfg, model, params, images5, {}, W_sz=4)
+    assert logits.shape == (8, 4) and masks.shape[:2] == (8, 3)

@@ -48,6 +48,14 @@ def build_model(cfg):
         from dvis_plus_tpu.models.meta.daq import DAQOffline
 
         return DAQOffline(cfg.model)
+    if arch == "maskformer":
+        from dvis_plus_tpu.models.meta.video_maskformer import ImageMaskFormer
+
+        return ImageMaskFormer(cfg.model)
+    if arch == "video_maskformer":
+        from dvis_plus_tpu.models.meta.video_maskformer import VideoMaskFormer
+
+        return VideoMaskFormer(cfg.model)
     raise ValueError(arch)
 
 
