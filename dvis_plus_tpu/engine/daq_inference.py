@@ -72,39 +72,73 @@ def _build_fns(cfg: Config, model, window_fns: Dict):
                 out["query_feat"],
             )
 
-        def make_step(first):
-            @jax.jit
-            def step(params, state, fe, mf, qf, pm, valid):
-                out, new_state = model.apply(
-                    params, state, fe, mf, qf, pm, valid, first,
-                    method=type(model).cutter_step,
-                )
-                return out, new_state
+        @jax.jit
+        def first_fn(params, state, fe, mf, qf, pm, valid):
+            out, new_state = model.apply(
+                params, state, fe, mf, qf, pm, valid, True,
+                method=type(model).cutter_step,
+            )
+            return out, new_state
 
-            return step
+        @jax.jit
+        def win_fn(params, state, fe, mf, qf, pm):
+            # in-graph lax.scan over the window's frames: one dispatch + one
+            # host pull per window instead of per frame
+            outs, new_state = model.apply(
+                params, state, fe, mf, qf, pm,
+                method=type(model).cutter_window,
+            )
+            return outs, new_state
 
         window_fns["seg"] = seg_fn
-        window_fns["first"] = make_step(True)
-        window_fns["step"] = make_step(False)
-    return window_fns["seg"], window_fns["first"], window_fns["step"]
+        window_fns["first"] = first_fn
+        window_fns["win"] = win_fn
+    return window_fns["seg"], window_fns["first"], window_fns["win"]
 
 
 def stream_video(cfg: Config, model, params, images: np.ndarray, window_fns: Dict):
     """Run the full streaming cutter over one video.
 
     Returns (records: {seq_id: SeqRecord}, T, (H4, W4))."""
-    seg_fn, first_fn, step_fn = _build_fns(cfg, model, window_fns)
-    W_sz = cfg.test.window_size
+    seg_fn, first_fn, win_fn = _build_fns(cfg, model, window_fns)
+    from dvis_plus_tpu.engine.inference import resolve_window_size
+    W_sz = resolve_window_size(cfg)
     T = images.shape[0]
     n_windows = (T + W_sz - 1) // W_sz
 
     td = cfg.model.transformer_decoder
     Qc = cfg.model.daq.max_num_instances
-    state = init_cutter_state(Qc, td.hidden_dim)
+    # carry-dtype contract: the scan carry must round-trip in the compute
+    # dtype (a mismatched carry is a trace error inside cutter_window's scan)
+    state = init_cutter_state(
+        Qc, td.hidden_dim, jnp.dtype(cfg.model.compute_dtype)
+    )
 
     aux_thr = cfg.model.daq.aux_inference_select_thr
     records: Dict[int, SeqRecord] = {}
     shape4 = None
+
+    def record_frames(host_out, t0: int, n: int):
+        """Accumulate n frames of stacked slot outputs starting at video
+        frame t0 (host side; the reference's video_ins_hub bookkeeping)."""
+        alive = host_out["alive"]
+        seq_ids = host_out["seq_id"]
+        s_logits = host_out["slot_logits"].astype(np.float32)
+        s_masks = host_out["slot_masks"].astype(np.float16)
+        s_embeds = host_out["slot_embeds"].astype(np.float32)
+        s_sg = host_out["slot_sg_pos"].astype(np.float32)
+        for j in range(n):
+            t = t0 + j
+            for slot in np.nonzero(alive[j])[0]:
+                sid = int(seq_ids[j, slot])
+                rec = records.get(sid)
+                if rec is None:
+                    rec = records[sid] = SeqRecord(t)
+                rec.frames.append(t)
+                rec.logits.append(s_logits[j, slot])
+                rec.masks.append(s_masks[j, slot])
+                rec.embeds.append(s_embeds[j, slot])
+                rec.sg_pos = s_sg[j, slot]
 
     for w in range(n_windows):
         chunk = images[w * W_sz : (w + 1) * W_sz]
@@ -115,33 +149,25 @@ def stream_video(cfg: Config, model, params, images: np.ndarray, window_fns: Dic
             )
         lg, pm, fe, mf, qf = seg_fn(params, jnp.asarray(chunk))
         shape4 = pm.shape[-2:]
-        for j in range(Tw):
-            t = w * W_sz + j
-            if t == 0:
-                prob = jax.nn.softmax(lg[j].astype(jnp.float32), axis=-1)
-                valid = prob[:, :-1].max(axis=1) > aux_thr
-                out, state = first_fn(params, state, fe[j], mf[j], qf, pm[j], valid)
-            else:
-                dummy_valid = jnp.zeros((fe.shape[1],), bool)
-                out, state = step_fn(
-                    params, state, fe[j], mf[j], qf, pm[j], dummy_valid
+        if w == 0:
+            # first frame: its own executable (fQ queries, validity from the
+            # segmenter scores); the rest of the window scans steady-state
+            prob = jax.nn.softmax(lg[0].astype(jnp.float32), axis=-1)
+            valid = prob[:, :-1].max(axis=1) > aux_thr
+            out0, state = first_fn(params, state, fe[0], mf[0], qf, pm[0], valid)
+            host0 = jax.device_get(out0)
+            record_frames(jax.tree.map(lambda x: x[None], host0), 0, 1)
+            if W_sz > 1:
+                outs, state = win_fn(
+                    params, state, fe[1:], mf[1:], qf, pm[1:]
                 )
-            alive = np.asarray(out["alive"])
-            seq_ids = np.asarray(out["seq_id"])
-            s_logits = np.asarray(out["slot_logits"], dtype=np.float32)
-            s_masks = np.asarray(out["slot_masks"], dtype=np.float16)
-            s_embeds = np.asarray(out["slot_embeds"], dtype=np.float32)
-            s_sg = np.asarray(out["slot_sg_pos"], dtype=np.float32)
-            for slot in np.nonzero(alive)[0]:
-                sid = int(seq_ids[slot])
-                rec = records.get(sid)
-                if rec is None:
-                    rec = records[sid] = SeqRecord(t)
-                rec.frames.append(t)
-                rec.logits.append(s_logits[slot])
-                rec.masks.append(s_masks[slot])
-                rec.embeds.append(s_embeds[slot])
-                rec.sg_pos = s_sg[slot]
+                record_frames(jax.device_get(outs), 1, Tw - 1)
+        else:
+            # one dispatch + one stacked host pull for the whole window;
+            # padded tail frames are computed but never recorded (state
+            # after the last real frame is unused)
+            outs, state = win_fn(params, state, fe, mf, qf, pm)
+            record_frames(jax.device_get(outs), w * W_sz, Tw)
     return records, T, tuple(int(v) for v in shape4)
 
 
@@ -281,7 +307,8 @@ def _offline_refine(cfg, model, params, window_fns, pred_cls, full_masks,
     sel_emb = embeds[order]
 
     N, T, C = sel_emb.shape
-    W_sz = cfg.test.window_size
+    from dvis_plus_tpu.engine.inference import resolve_window_size
+    W_sz = resolve_window_size(cfg)
     n_windows = (T + W_sz - 1) // W_sz
     pad_T = n_windows * W_sz
 

@@ -23,15 +23,12 @@ from dvis_plus_tpu.models.tracker.referring_tracker import init_tracker_state
 logger = logging.getLogger(__name__)
 
 
-def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator):
-    """VIS eval loop: segmenter(+tracker) windows -> post-processing -> top-K
-    masks -> evaluator.process per video."""
-    arch = cfg.model.meta_architecture
+def resolve_window_size(cfg: Config) -> int:
+    """``test.window_size <= 0`` = auto window: static HBM budgeting replaces
+    the reference's retry_if_cuda_oom (memory.py:27-80; SURVEY §5.3). Shared
+    by every task driver (VIS/VPS/VSS/OV/DAQ)."""
     W_sz = cfg.test.window_size
-    topk = cfg.test.max_num
     if W_sz <= 0:
-        # auto window: static HBM budgeting replaces the reference's
-        # retry_if_cuda_oom (memory.py:27-80; SURVEY §5.3)
         from dvis_plus_tpu.utils.events import pick_window_size
 
         div = cfg.model.size_divisibility
@@ -41,6 +38,15 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
             5, H_est, W_est, cfg.model.transformer_decoder.num_queries
         )
         logger.info("auto window size: %d", W_sz)
+    return W_sz
+
+
+def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator):
+    """VIS eval loop: segmenter(+tracker) windows -> post-processing -> top-K
+    masks -> evaluator.process per video."""
+    arch = cfg.model.meta_architecture
+    W_sz = resolve_window_size(cfg)
+    topk = cfg.test.max_num
 
     if arch.startswith("daq"):
         from dvis_plus_tpu.engine.daq_inference import run_daq_inference
@@ -111,7 +117,7 @@ def run_vps_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
         panoptic_segments_host,
     )
 
-    W_sz = cfg.test.window_size
+    W_sz = resolve_window_size(cfg)
     window_fns: Dict = {}
     for sample in loader:
         images = sample["images"]
@@ -159,7 +165,7 @@ def run_vss_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
     semantic argmax -> per-frame PNGs."""
     from dvis_plus_tpu.models.meta.dvis_online import semantic_inference
 
-    W_sz = cfg.test.window_size
+    W_sz = resolve_window_size(cfg)
     window_fns: Dict = {}
     for sample in loader:
         images = sample["images"]

@@ -41,7 +41,8 @@ def run_ov_inference(
     from dvis_plus_tpu.models.meta.minvis import inference_video
 
     arch = cfg.model.meta_architecture
-    W_sz = cfg.test.window_size
+    from dvis_plus_tpu.engine.inference import resolve_window_size
+    W_sz = resolve_window_size(cfg)
     topk = cfg.test.max_num
     tc = jnp.asarray(text_classifier)
     nt = tuple(num_templates)

@@ -199,11 +199,17 @@ class UniYTVISEvaluator(YTVISEvaluator):
 
     def evaluate(self) -> Dict[str, float]:
         res = super().evaluate()
-        from dvis_plus_tpu.evaluation.dist import is_main_process
+        from dvis_plus_tpu.evaluation.dist import gather_predictions, is_main_process
 
-        if self._bdd and is_main_process():
-            for k, v in self._bdd.items():
-                with open(os.path.join(self.output_dir, f"{k}.json"), "w") as f:
-                    json.dump(v, f)
-            res["bdd_keys"] = len(self._bdd)
+        if self._bdd:
+            # per-key cross-host gather (reference gathers then chains per
+            # key, uninext_ytvis_eval.py:143-149); process 0 writes one json
+            # per key — the JSON twin of the reference's
+            # instances_predictions.pkl dump (:165-168)
+            gathered = {k: gather_predictions(v) for k, v in sorted(self._bdd.items())}
+            if is_main_process():
+                for k, v in gathered.items():
+                    with open(os.path.join(self.output_dir, f"{k}.json"), "w") as f:
+                        json.dump(v, f)
+                res["bdd_keys"] = len(gathered)
         return res

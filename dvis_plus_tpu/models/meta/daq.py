@@ -132,6 +132,42 @@ class DAQOnline(nn.Module):
             seg_valid, first=first,
         )
 
+    def cutter_window(
+        self,
+        state: CutterState,
+        frame_embeds: jnp.ndarray,  # (Tw, fQ, C)
+        mask_features: jnp.ndarray,  # (Tw, H4, W4, Cm)
+        seg_query_feat: jnp.ndarray,  # (fQ, C) frame-independent
+        seg_pred_masks: jnp.ndarray,  # (Tw, fQ, H4, W4)
+    ):
+        """Steady-state streaming over a whole window in ONE executable:
+        ``nn.scan`` of :meth:`cutter_step` (first=False) with the CutterState
+        carry, so the engine dispatches once and pulls the stacked slot
+        outputs once per window instead of per frame. (The reference steps
+        python-side per frame, ``track_module.py:606-744``; per-frame host
+        round-trips made the streaming path dispatch-bound on TPU.)"""
+        dummy_valid = jnp.zeros((frame_embeds.shape[1],), bool)
+
+        def body(mdl, carry, xs):
+            fe_t, mf_t, pm_t = xs
+            out, new_state = mdl.cutter.inference_step(
+                carry, fe_t, mf_t, seg_query_feat, pm_t, dummy_valid,
+                first=False,
+            )
+            return new_state, out
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        final_state, outs = scan(
+            self, state, (frame_embeds, mask_features, seg_pred_masks)
+        )
+        return outs, final_state
+
 
 def daq_train_loss(
     rng: jax.Array,
@@ -186,6 +222,9 @@ class DAQOffline(nn.Module):
 
     def cutter_step(self, *args, **kwargs):
         return self.online.cutter.inference_step(*args, **kwargs)
+
+    def cutter_window(self, *args, **kwargs):
+        return self.online.cutter_window(*args, **kwargs)
 
     def __call__(
         self,

@@ -123,6 +123,96 @@ def test_daq_streaming_inference(daq_model):
     assert len(set(ids.tolist())) == len(ids)
 
 
+def test_daq_cutter_window_scan_matches_per_frame(daq_model):
+    """The in-graph lax.scan window executable (cutter_window, one host pull
+    per window) reproduces the sequential per-frame cutter_step stream
+    exactly — outputs AND final carry."""
+    cfg, model, params = daq_model
+    images = jax.random.normal(jax.random.key(7), (T, H, W, 3))
+    seg_out = model.apply(params, images, method=DAQOnline.segment_only)
+    C = seg_out["pred_embds_without_norm"].shape[-1]
+    fe = seg_out["pred_embds_without_norm"]
+    mf = seg_out["mask_features"]
+    qf = seg_out["query_feat"]
+    pm = seg_out["pred_masks"]
+    valid0 = jnp.ones((fe.shape[1],), bool)
+
+    # per-frame stream: first frame + T-1 steady steps
+    state_seq = init_cutter_state(Qc, C)
+    out0, state_seq = model.apply(
+        params, state_seq, fe[0], mf[0], qf, pm[0], valid0, True,
+        method=DAQOnline.cutter_step,
+    )
+    per_frame = []
+    dummy = jnp.zeros((fe.shape[1],), bool)
+    for i in range(1, T):
+        out, state_seq = model.apply(
+            params, state_seq, fe[i], mf[i], qf, pm[i], dummy, False,
+            method=DAQOnline.cutter_step,
+        )
+        per_frame.append(out)
+
+    # scanned window over the same steady-state frames
+    state_scan = init_cutter_state(Qc, C)
+    _, state_scan = model.apply(
+        params, state_scan, fe[0], mf[0], qf, pm[0], valid0, True,
+        method=DAQOnline.cutter_step,
+    )
+    outs, state_scan = model.apply(
+        params, state_scan, fe[1:], mf[1:], qf, pm[1:],
+        method=DAQOnline.cutter_window,
+    )
+
+    for j, ref in enumerate(per_frame):
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(outs[k][j]), np.asarray(ref[k]), atol=1e-5,
+                err_msg=f"frame {j + 1} key {k}",
+            )
+    for a, b in zip(jax.tree.leaves(state_scan), jax.tree.leaves(state_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_daq_stream_video_bf16_carry():
+    """The serving config (bfloat16 compute) streams through stream_video's
+    scanned window path: the CutterState carry must be dtype-stable across
+    scan iterations (lax.scan rejects a carry whose dtype changes)."""
+    from dvis_plus_tpu.engine.daq_inference import stream_video
+
+    cfg = Config()
+    cfg.model.num_classes = K
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.model.pixel_decoder.conv_dim = 32
+    cfg.model.pixel_decoder.mask_dim = 32
+    cfg.model.pixel_decoder.transformer_enc_layers = 1
+    cfg.model.pixel_decoder.transformer_dim_feedforward = 64
+    cfg.model.transformer_decoder.hidden_dim = 32
+    cfg.model.transformer_decoder.num_queries = fQ
+    cfg.model.transformer_decoder.nheads = 4
+    cfg.model.transformer_decoder.dim_feedforward = 64
+    cfg.model.transformer_decoder.dec_layers = 2
+    cfg.model.transformer_decoder.mask_dim = 32
+    cfg.model.tracker.num_layers = 2
+    cfg.model.tracker.feedforward_dim = 64
+    cfg.model.tracker.num_heads = 4
+    cfg.model.daq.num_new_ins = NQ
+    cfg.model.daq.num_slots = NS
+    cfg.model.daq.max_num_instances = Qc
+    cfg.model.criterion.train_num_points = 64
+    cfg.test.window_size = 2
+    model = DAQOnline(cfg.model)
+    targets = make_targets()
+    images0 = jnp.zeros((T, H, W, 3), jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.key(0), images0, targets, jax.random.key(1)
+    )
+    video = np.random.RandomState(3).rand(5, H, W, 3).astype(np.float32)
+    records, T_out, shape4 = stream_video(cfg, model, params, video, {})
+    assert T_out == 5
+    for rec in records.values():
+        assert all(np.isfinite(l).all() for l in rec.logits)
+
+
 def test_mask_nms():
     S, Hm, Wm = 3, 8, 8
     masks = np.full((S, Hm, Wm), -5.0, np.float32)

@@ -117,6 +117,7 @@ def test_resize_scale_then_crop_sees_resized_size():
     assert img.shape == (32, 32, 3)
 
 
+@pytest.mark.slow
 def test_coco_image_pretraining_train_steps(synth_coco, tmp_path):
     """Segmenter image pretraining: minvis arch on COCO panoptic as 1-frame
     clips, a few optimizer steps end-to-end (VERDICT #9 done-criteria)."""
@@ -193,6 +194,7 @@ def test_color_jitter_augs():
     assert t.apply_image(img).max() == 120
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch,T", [("maskformer", 1), ("video_maskformer", 2)])
 def test_maskformer_pretraining_train_steps(arch, T, synth_coco, tmp_path):
     """The registered (Video)MaskFormer pretraining meta-archs train through
@@ -250,6 +252,7 @@ def test_maskformer_pretraining_train_steps(arch, T, synth_coco, tmp_path):
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_maskformer_eval_clip_route(synth_coco, tmp_path):
     """video_maskformer evaluates VIS end-to-end via the whole-video clip
     decode route (engine/inference._clipformer_video)."""

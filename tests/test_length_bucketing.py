@@ -95,6 +95,7 @@ def test_refiner_masked_padding_is_exact():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", ["minvis", "dvis_offline"])
 def test_compile_count_bounded_over_val_set(arch):
     """12 synthetic videos with 8 distinct lengths share <= #buckets compiled

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dvis_plus_tpu.ops.msdeform import ms_deform_attn
 from dvis_plus_tpu.ops.msdeform_pallas import (
@@ -114,6 +115,7 @@ def _multi_level_case(seed=5):
     return value, shapes, loc, attn
 
 
+@pytest.mark.slow
 def test_multi_level_local_matches_exact():
     """ms_deform_attn_local == exact op over 3 pyramid levels when offsets
     stay inside the clamp radius (the encoder integration surface)."""
@@ -127,6 +129,7 @@ def test_multi_level_local_matches_exact():
     np.testing.assert_allclose(np.asarray(got), np.asarray(exact), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_local_op_gradients_match_exact():
     """The custom VJP (exact math on clamped locations) matches the exact
     op's gradients when offsets are inside the radius."""
@@ -150,6 +153,7 @@ def test_local_op_gradients_match_exact():
         np.testing.assert_allclose(np.asarray(gl), np.asarray(ge), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gather_fallback_clamps_out_of_radius():
     """The gather-fallback branch of _local_forward must apply the same
     radius clamp as the VJP oracle: with offsets far outside the radius,

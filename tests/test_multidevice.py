@@ -4,6 +4,8 @@ process-0 evaluator aggregation."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e lane; CI runs the full suite
+
 import jax
 import jax.numpy as jnp
 

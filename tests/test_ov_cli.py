@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e lane; CI runs the full suite
+
 from tests.test_data import synth_dataset, make_cfg  # noqa: F401
 
 

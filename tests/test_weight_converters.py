@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_swin_converter_matches_hf_swin():
     """Our flax Swin on converted weights == HuggingFace SwinModel forward
     (independent torch implementation of the same architecture)."""
@@ -91,6 +92,7 @@ def test_swin_converter_matches_hf_swin():
     np.testing.assert_allclose(got, want, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_vit_trunk_conversion_matches_hf_dinov2():
     """Our DinoViT on converted weights == HuggingFace Dinov2Model (the
     reference's frozen ViT trunk, backbones_vitAdapter/backbones.py:36)."""
