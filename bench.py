@@ -98,6 +98,7 @@ def bench_offline(backbone="swin_l", H=736, W=1280, T_w=5, n_windows=2,
     elif backbone == "vit_adapter":
         # ViT-Adapter DINOv2-L: the top-AP zoo rows (OVIS 53.4/57.1 AP)
         cfg.model.backbone.name = "vit_adapter_dinov2"
+        cfg.model.backbone.vit_flash_attention = True  # serving bf16 path
     else:
         raise ValueError(backbone)
     cfg.model.transformer_decoder.num_queries = 200

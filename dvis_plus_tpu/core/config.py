@@ -58,6 +58,8 @@ class BackboneConfig:
     vit_n_points: int = 4
     vit_with_cffn: bool = False
     vit_frozen: bool = True
+    vit_flash_attention: bool = False  # serving-only blockwise trunk attention
+    # (ops/flash_attn.py; parity runs keep the dense fp32-softmax island)
     # CLIP (MODEL.FC_CLIP.*)
     clip_model_name: str = "convnext_large_d_320"
     clip_embed_dim: int = 768

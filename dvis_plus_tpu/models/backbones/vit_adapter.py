@@ -51,6 +51,7 @@ class ViTBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    attn_impl: str = "dense"  # 'flash' = blockwise Pallas kernel (serving)
 
     @nn.compact
     def __call__(self, x):
@@ -58,7 +59,9 @@ class ViTBlock(nn.Module):
 
         d = x.dtype  # AMP follows the caller's cast (params fp32)
         h = nn.LayerNorm(dtype=d, name="norm1")(x)
-        h = MultiHeadAttention(self.dim, self.num_heads, name="attn")(h, h, h)
+        h = MultiHeadAttention(
+            self.dim, self.num_heads, impl=self.attn_impl, name="attn"
+        )(h, h, h)
         x = x + LayerScale(self.dim, name="ls1")(h)
         h = nn.LayerNorm(dtype=d, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=d, name="mlp_fc1")(h)
@@ -75,6 +78,7 @@ class DinoViT(nn.Module):
     num_heads: int = 16
     patch_size: int = 16
     pretrain_grid: int = 37  # 518 / 14 pretraining grid for pos interpolation
+    attn_impl: str = "dense"  # 'flash' = blockwise Pallas kernel (serving)
     dtype: object = None  # compute dtype (params fp32)
 
     def setup(self):
@@ -94,7 +98,10 @@ class DinoViT(nn.Module):
             (1, self.pretrain_grid * self.pretrain_grid + 1, self.embed_dim),
         )
         self.blocks = [
-            ViTBlock(self.embed_dim, self.num_heads, name=f"block{i}")
+            ViTBlock(
+                self.embed_dim, self.num_heads,
+                attn_impl=self.attn_impl, name=f"block{i}",
+            )
             for i in range(self.depth)
         ]
 
@@ -276,6 +283,7 @@ class ViTAdapter(nn.Module):
     add_vit_feature: bool = True
     use_injector: bool = False  # shipped config uses the Efficient (no-inject) blocks
     pretrain_grid: int = 37  # DINOv2 518/14 pos-embed grid
+    attn_impl: str = "dense"  # trunk attention: 'dense' | 'flash' (serving)
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
     dtype: object = None  # compute dtype (params fp32)
 
@@ -284,7 +292,8 @@ class ViTAdapter(nn.Module):
         B, H0, W0, _ = x.shape
         vit = DinoViT(
             self.embed_dim, self.depth, self.num_heads, self.patch_size,
-            pretrain_grid=self.pretrain_grid, dtype=self.dtype, name="vit"
+            pretrain_grid=self.pretrain_grid, attn_impl=self.attn_impl,
+            dtype=self.dtype, name="vit"
         )
         tokens, cls, Hp, Wp = vit.prepare_tokens(x)
         # frozen trunk (reference freeze_backbone; optimizer-masked too)
@@ -374,5 +383,6 @@ def build_vit_adapter(cfg: BackboneConfig, dtype=None) -> ViTAdapter:
         n_points=cfg.vit_n_points,
         interaction_indexes=cfg.vit_interaction_indexes,
         with_cffn=cfg.vit_with_cffn,
+        attn_impl="flash" if cfg.vit_flash_attention else "dense",
         out_features=cfg.out_features,
     )

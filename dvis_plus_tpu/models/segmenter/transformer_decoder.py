@@ -65,10 +65,15 @@ def _attention(
 
 
 class MultiHeadAttention(nn.Module):
-    """Torch-style MHA: single in/out projections, merged heads."""
+    """Torch-style MHA: single in/out projections, merged heads.
+
+    ``impl='flash'`` routes the (unmasked) score/softmax/AV core through the
+    blockwise Pallas kernel (`ops/flash_attn.py`) — serving-only opt-in for
+    long token sequences (ViT trunk); params are identical either way."""
 
     dim: int
     num_heads: int
+    impl: str = "dense"
 
     @nn.compact
     def __call__(self, q, k, v, mask=None):
@@ -78,7 +83,12 @@ class MultiHeadAttention(nn.Module):
         qp = nn.DenseGeneral((H, Dh), dtype=d, name="q_proj")(q)
         kp = nn.DenseGeneral((H, Dh), dtype=d, name="k_proj")(k)
         vp = nn.DenseGeneral((H, Dh), dtype=d, name="v_proj")(v)
-        out = _attention(qp, kp, vp, mask)
+        if self.impl == "flash" and mask is None:
+            from dvis_plus_tpu.ops.flash_attn import flash_self_attention
+
+            out = flash_self_attention(qp, kp, vp)
+        else:
+            out = _attention(qp, kp, vp, mask)
         return nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=d, name="out_proj")(out)
 
 

@@ -1,3 +1,4 @@
+import pytest
 """Backbone pyramid contracts (res2..res5, NHWC) + torch ResNet port parity."""
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,7 @@ from dvis_plus_tpu.models.backbones.resnet import resnet50
 from dvis_plus_tpu.models.backbones.swin import build_swin
 
 
+@pytest.mark.slow
 def test_resnet_pyramid_shapes():
     model = resnet50()
     x = jnp.zeros((2, 64, 96, 3))
@@ -100,6 +102,7 @@ def test_resnet_matches_torch():
     )
 
 
+@pytest.mark.slow
 def test_swin_tiny_shapes():
     cfg = BackboneConfig(name="swin_t")
     model = build_swin(cfg)
@@ -124,6 +127,7 @@ def test_swin_nondivisible_input():
     assert out["res2"].shape[1:3] == (17, 24)  # ceil(67/4), ceil(93/4)
 
 
+@pytest.mark.slow
 def test_swin_param_shapes_stable_across_input_sizes():
     """Params initialized at one video size must apply at any other: mixed-
     size eval crashed when the window size (and so the relative-position
@@ -137,6 +141,7 @@ def test_swin_param_shapes_stable_across_input_sizes():
         assert np.all(np.isfinite(np.asarray(out["res5"])))
 
 
+@pytest.mark.slow
 def test_vit_adapter_tiny():
     from dvis_plus_tpu.models.backbones.vit_adapter import ViTAdapter
     import jax

@@ -1,3 +1,4 @@
+import pytest
 """CTVIS contrastive tracking loss + full ctvis train step."""
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,7 @@ def test_ctvis_handles_absent_frames():
     assert float(losses0["loss_reid"]) == 0.0
 
 
+@pytest.mark.slow
 def test_ctvis_train_step_builds():
     from dvis_plus_tpu.core.config import Config
     from dvis_plus_tpu.engine.trainer import Batch, build_train_step

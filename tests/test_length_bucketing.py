@@ -58,6 +58,7 @@ def test_pad_time_replicate():
     )
 
 
+@pytest.mark.slow
 def test_refiner_masked_padding_is_exact():
     """embed_pass over a replicate-padded, time-masked video == embed_pass at
     the true length (the invariant temporal_refiner._body documents)."""

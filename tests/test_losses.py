@@ -1,3 +1,4 @@
+import pytest
 """Matcher + criterion semantics on small synthetic clips."""
 import jax
 import jax.numpy as jnp
@@ -119,6 +120,7 @@ def test_criterion_jits_and_grads():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow
 def test_aux_layers_rematch_in_self_match_mode():
     """In self-match mode every aux layer is re-matched on its own predictions
     (reference criterion.py:242-249): a query-permuted aux layer must produce
@@ -181,6 +183,7 @@ def test_aux_layers_rematch_in_self_match_mode():
     assert float(guided["loss_dice_0"]) > float(guided["loss_dice"]) + 0.1
 
 
+@pytest.mark.slow
 def test_matcher_auction_solver_matches_jv():
     """solve_lap(solver="auction") recovers the exact JV assignment on
     matcher-style costs (random valid block + _PAD_COST sentinels for

@@ -41,6 +41,7 @@ def tiny_model():
     return model, params
 
 
+@pytest.mark.slow
 def test_segmenter_shapes(tiny_model):
     model, params = tiny_model
     images = jax.random.normal(jax.random.key(1), (B * T, H, W, 3))
@@ -70,6 +71,7 @@ def make_targets():
     )
 
 
+@pytest.mark.slow
 def test_train_loss_and_grads(tiny_model):
     model, params = tiny_model
     targets = make_targets()
@@ -133,6 +135,7 @@ def test_post_processing_permutation_invariance(tiny_model):
     )
 
 
+@pytest.mark.slow
 def test_bf16_serving_agrees_with_fp32(tiny_model):
     """The bf16 AMP path (compute_dtype=bfloat16: backbone dtype threading,
     bf16 window/decoder layers, bf16 deformable values) must agree with the

@@ -1,3 +1,4 @@
+import pytest
 """FPN pixel decoder, SOT/VOS helpers, pseudo-video mapper, instance eval,
 DAQ offline top-K, refiner padding masks."""
 import jax
@@ -7,6 +8,7 @@ import numpy as np
 from dvis_plus_tpu.utils import rle as rle_codec
 
 
+@pytest.mark.slow
 def test_fpn_pixel_decoder():
     from dvis_plus_tpu.models.segmenter.pixel_decoder import FPNPixelDecoder
 
@@ -83,6 +85,7 @@ def test_instance_eval_t1():
     assert res["AP"] > 0.99
 
 
+@pytest.mark.slow
 def test_offline_topk_and_refiner_padding():
     from dvis_plus_tpu.models.meta.daq import offline_topk_mask
     from dvis_plus_tpu.models.refiner.temporal_refiner import TemporalRefiner

@@ -1,3 +1,4 @@
+import pytest
 """MSDeformAttn core op vs a torch grid_sample oracle.
 
 Mirrors the reference's only real test file
@@ -69,6 +70,7 @@ def test_forward_f64_tight():
         np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_gradients_match_oracle():
     value, loc, w = make_inputs(seed=2, B=1, M=2, D=4, Lq=5, P=2)
 

@@ -112,6 +112,7 @@ def tiny_ov_model():
     return cfg
 
 
+@pytest.mark.slow
 def test_ov_online_forward(tiny_ov_model):
     from dvis_plus_tpu.models.meta.ov import DVISOnlineOV
 
@@ -137,6 +138,7 @@ def test_ov_online_forward(tiny_ov_model):
     assert pooled.shape == (2, 8, Cc)
 
 
+@pytest.mark.slow
 def test_ov_train_step(tiny_ov_model):
     from dvis_plus_tpu.engine.trainer import Batch, build_train_step
     from dvis_plus_tpu.losses.targets import VideoTargets
@@ -257,6 +259,7 @@ def test_text_tower_conversion_matches_torch():
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_learned_void_embedding_in_graph():
     """The void block of the classifier is LEARNED model state (reference
     void_embedding, meta_architecture_ov.py:152-157): the host classifier

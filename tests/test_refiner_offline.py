@@ -1,3 +1,4 @@
+import pytest
 """Temporal refiner + offline loss + class-memory CL."""
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ from dvis_plus_tpu.models.refiner.temporal_refiner import TemporalRefiner
 B, T, Q, C, K, Hm, Wm, N = 1, 4, 8, 32, 5, 16, 16, 3
 
 
+@pytest.mark.slow
 def test_refiner_shapes_train_eval():
     model = TemporalRefiner(
         num_classes=K, hidden_dim=C, feedforward_dim=64, num_heads=4,
@@ -43,6 +45,7 @@ def make_targets(rng):
     return VideoTargets(labels=labels, masks=masks, valid=valid, frame_valid=fv)
 
 
+@pytest.mark.slow
 def test_offline_loss_and_memory():
     rng = np.random.RandomState(1)
     track_out = {

@@ -83,6 +83,7 @@ def test_streaming_matches_full_clip(tracker):
     )
 
 
+@pytest.mark.slow
 def test_online_loss_grads():
     from dvis_plus_tpu.models.meta.dvis_online import dvis_online_train_loss
 

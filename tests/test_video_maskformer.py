@@ -1,3 +1,4 @@
+import pytest
 """Clip-joint VideoMaskFormer pretraining path."""
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,7 @@ def tiny_cfg():
     return cfg
 
 
+@pytest.mark.slow
 def test_video_maskformer_train():
     cfg = tiny_cfg()
     model = VideoMaskFormer(cfg.model)

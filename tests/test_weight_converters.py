@@ -196,6 +196,7 @@ def test_vit_trunk_conversion_matches_hf_dinov2():
     np.testing.assert_allclose(got, want, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_vit_adapter_full_converter_structure():
     """The full adapter converter consumes a reference-shaped state dict and
     produces a params tree our ViTAdapter can run (shapes + layout)."""
@@ -300,6 +301,7 @@ def test_vit_adapter_full_converter_structure():
 
 
 @pytest.mark.parametrize("arch", ["minvis", "dvis_online", "dvis_offline"])
+@pytest.mark.slow
 def test_full_model_converter_covers_reference_key_space(arch):
     """convert_reference_checkpoint consumes a reference-keyed state dict and
     fills (almost) every param of our model; the converted tree runs."""
