@@ -213,6 +213,60 @@ def convert_refiner(sd: Dict[str, np.ndarray], num_layers: int = 6,
     return p
 
 
+def convert_daq_cutter(sd: Dict[str, np.ndarray], num_layers: int = 6,
+                       heads: int = 8) -> Dict:
+    """``tracker.*`` of a DVIS-DAQ checkpoint (the ``VideoInstanceCutter``,
+    DVIS_DAQ/dvis_daq/track_module.py:102-231) -> our slot-table cutter
+    params (models/daq/cutter.py). The slot branch's ``SlotCrossAttentionLayer``
+    (dvis_daq/slot_attention.py:89-170) carries an inner single-iteration
+    ``SlotAttention`` with a LayerNorm+Linear q projection (``project_q.0/1``)
+    and a bias-free k projection."""
+    p: Dict[str, Any] = {}
+    for i in range(num_layers):
+        p[f"self_{i}"] = _self_attn_layer(
+            sd, f"transformer_self_attention_layers.{i}", heads
+        )
+        p[f"cross_{i}"] = _cross_attn_layer(
+            sd, f"transformer_cross_attention_layers.{i}", heads
+        )
+        p[f"ffn_{i}"] = _ffn_layer(sd, f"transformer_ffn_layers.{i}")
+        pre = f"slot_cross_attention_layers.{i}"
+        p[f"slot_cross_{i}"] = {
+            "attn": _mha_from_torch(
+                sd[f"{pre}.multihead_attn.in_proj_weight"],
+                sd[f"{pre}.multihead_attn.in_proj_bias"],
+                sd[f"{pre}.multihead_attn.out_proj.weight"],
+                sd[f"{pre}.multihead_attn.out_proj.bias"],
+                heads,
+            ),
+            "norm": _ln(sd, f"{pre}.norm"),
+            "slot_attn": {
+                "norm_inputs": _ln(sd, f"{pre}.slot_attn.norm_inputs"),
+                "project_q_norm": _ln(sd, f"{pre}.slot_attn.project_q.0"),
+                "project_q_dense": {
+                    "kernel": np.asarray(sd[f"{pre}.slot_attn.project_q.1.weight"]).T
+                },
+                "project_k": {
+                    "kernel": np.asarray(sd[f"{pre}.slot_attn.project_k.weight"]).T
+                },
+            },
+        }
+        p[f"slot_ffn_{i}"] = _ffn_layer(sd, f"slot_ffn_layers.{i}")
+    p["decoder_norm"] = _ln(sd, "decoder_norm")
+    p["class_embed"] = _dense(sd, "class_embed")
+    p["mask_embed"] = _mlp(sd, "mask_embed")
+    p["pos_embed"] = _mlp(sd, "pos_embed")
+    # reference mask_feature_proj is a 1x1 Conv2d; ours a Dense
+    w = np.asarray(sd["mask_feature_proj.weight"])  # (C_out, C_in, 1, 1)
+    p["mask_feature_proj"] = {
+        "kernel": w[:, :, 0, 0].T,
+        "bias": np.asarray(sd["mask_feature_proj.bias"]),
+    }
+    p["new_ins_embeds"] = np.asarray(sd["new_ins_embeds.weight"])  # (1, C)
+    p["bg_slots"] = np.asarray(sd["bg_slots.weight"])  # (num_slots, C)
+    return p
+
+
 def convert_reference_checkpoint(state_dict: Dict[str, np.ndarray], cfg) -> Dict:
     """Whole-model conversion routed by the config's architecture. Returns a
     ``{"params": ...}`` tree shaped for our meta-architectures (Segmenter /
@@ -256,6 +310,23 @@ def convert_reference_checkpoint(state_dict: Dict[str, np.ndarray], cfg) -> Dict
     arch = cfg.model.meta_architecture
     if arch in ("minvis", "ctvis"):
         return {"params": seg}
+    if arch in ("daq_online", "daq_offline"):
+        # DAQ checkpoints name the cutter ``tracker`` (DVIS_DAQ
+        # meta_architecture.py:95); offline adds ``refiner.*`` (:953) whose
+        # key space matches the DVIS++ refiner (dvis_daq/refiner.py is the
+        # dvis_Plus refiner with padding_embed = nn.Identity, no params)
+        cutter = convert_daq_cutter(
+            _sub(sd, "tracker."), num_layers=cfg.model.tracker.num_layers,
+            heads=cfg.model.tracker.num_heads,
+        )
+        online = {"segmenter": seg, "cutter": cutter}
+        if arch == "daq_online":
+            return {"params": online}
+        refiner = convert_refiner(
+            _sub(sd, "refiner."), num_layers=cfg.model.refiner.num_layers,
+            heads=cfg.model.refiner.num_heads,
+        )
+        return {"params": {"online": online, "refiner": refiner}}
     tracker = convert_tracker(
         _sub(sd, "tracker."), num_layers=cfg.model.tracker.num_layers,
         heads=cfg.model.tracker.num_heads,

@@ -82,12 +82,20 @@ def sgff_update(
     count: jnp.ndarray,  # scalar
     new_pos: jnp.ndarray,  # (C,)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Similarity-guided feature fusion (reference update_pos :71-99)."""
+    """Similarity-guided feature fusion (reference update_pos :71-99).
+
+    The reference compares against ``pos_embeds[max(0, L-cache):-1]`` — the
+    most recent ``min(count, M-1)`` PREVIOUS raw embeds (the list never pops;
+    the slice excludes the new embed and caps at cache-1 entries). The ring
+    reproduces that window: slot ``i`` holds append number
+    ``count-1-((count-1-i) % M)``; only the last ``have`` appends count."""
     M = cache.shape[0]
-    have = jnp.minimum(count, M)
+    have = jnp.minimum(count, M - 1)
     first = count == 0
 
-    valid = jnp.arange(M) < have
+    idx = jnp.arange(M)
+    last_app = count - 1 - ((count - 1 - idx) % M)  # append number in slot i
+    valid = (last_app >= count - have) & (last_app >= 0)
     cache_n = cache / (jnp.linalg.norm(cache, axis=-1, keepdims=True) + 1e-8)
     new_n = new_pos / (jnp.linalg.norm(new_pos) + 1e-8)
     sim = jnp.sum(jnp.where(valid, cache_n @ new_n, 0.0)) / jnp.maximum(have, 1)
@@ -174,15 +182,22 @@ class VideoInstanceCutter(nn.Module):
         mem = frame_embeds[None]
         for j in range(self.num_layers):
             x = self.cross_layers[j](x, mem, fp, qp)
-            x = self.self_layers[j](x, qp, sa_mask)
+            # the reference cutter's self-attention takes NO query pos
+            # (track_module.py:346/:646: layers called with tgt only)
+            x = self.self_layers[j](x, 0.0, sa_mask)
             x = self.ffn_layers[j](x)
             outs.append(x[0])
         return jnp.stack(outs, axis=0)
 
-    def _slot_decode(self, slots_feats, frame_embeds, slots_pos, slots_query, mask=None):
-        """(S', C) -> (L, S', C)."""
+    def _slot_decode(
+        self, slots_feats, frame_embeds, slots_pos, slots_query, mask=None,
+        row_valid=None,
+    ):
+        """(S', C) -> (L, S', C). ``row_valid`` (S',) masks dead table rows
+        out of the slot-attention coupling (see SlotAttention.row_valid)."""
         x = slots_feats[None]
         outs = []
+        rv = None if row_valid is None else row_valid[None]
         for j in range(self.num_layers):
             x = self.slot_cross_layers[j](
                 x,
@@ -190,6 +205,7 @@ class VideoInstanceCutter(nn.Module):
                 query_pos=slots_pos[None],
                 slot_query=slots_query[None],
                 mask=mask,
+                row_valid=rv,
             )
             x = self.slot_ffn_layers[j](x)
             outs.append(x[0])
@@ -246,6 +262,7 @@ class VideoInstanceCutter(nn.Module):
         tgt_ids: jnp.ndarray,  # (S,) matched GT per query (-1)
         raw_pos: jnp.ndarray,  # (S, C) mask-pooled pos embeds (MLP-projected)
         invalid_for_query: Optional[jnp.ndarray] = None,  # (S,) miss counters
+        pos_update_for_query: Optional[jnp.ndarray] = None,  # (S,) bool
     ) -> Tuple[CutterState, jnp.ndarray]:
         """Compact activated queries into the fixed slot table; surviving
         track slots carry their SGFF / seq-id state (reference :408-462).
@@ -278,6 +295,14 @@ class VideoInstanceCutter(nn.Module):
 
         pos_new = raw_pos[src_c]
         sg1, cache1, count1 = jax.vmap(sgff_update)(sg0, cache0, count0, pos_new)
+        if pos_update_for_query is not None:
+            # missed-but-kept tracks carry their SGFF state unchanged — the
+            # reference only calls update_pos on VALID queries (inference
+            # :727-731 vs the invalid-kept branch :732-744, no update_pos)
+            upd = pos_update_for_query[src_c]
+            sg1 = jnp.where(upd[:, None], sg1, sg0)
+            cache1 = jnp.where(upd[:, None, None], cache1, cache0)
+            count1 = jnp.where(upd, count1, count0)
         sg1 = jnp.where(new_alive[:, None], sg1, 0.0)
 
         old_seq = jnp.where(carried, state.seq_id[src_slot], -1)
@@ -398,7 +423,8 @@ class VideoInstanceCutter(nn.Module):
                 hide = (fm_i.aux_tgt_for_query == sim_tgt) & (sim_tgt >= 0)  # (fQ,)
                 attn_mask = jnp.where(hide[None, None, None, :], -1e9, 0.0)
                 slot_ms = self._slot_decode(
-                    slots_feats, frame_embeds[i], slots_pos, slots_query, attn_mask
+                    slots_feats, frame_embeds[i], slots_pos, slots_query,
+                    attn_mask, row_valid=row_valid,
                 )
                 s_logits, s_masks = self._prediction(slot_ms, proj_mf[i])
                 slot_disappeared = disappeared
@@ -515,7 +541,10 @@ class VideoInstanceCutter(nn.Module):
             sq_idx = self._match_slots_to_seg(slot_src, seg_query_feat, row_valid)
             slots_feats = seg_query_feat[sq_idx]
             slots_query = jnp.concatenate([state.sg_pos, bg], axis=0)
-            slot_ms = self._slot_decode(slots_feats, frame_embeds, slot_src, slots_query)
+            slot_ms = self._slot_decode(
+                slots_feats, frame_embeds, slot_src, slots_query,
+                row_valid=row_valid,
+            )
             s_logits, _ = self._prediction(slot_ms[-1:], proj_mf)
 
             prob = jax.nn.softmax(logits[-1].astype(jnp.float32), axis=-1)
@@ -554,7 +583,8 @@ class VideoInstanceCutter(nn.Module):
         raw_pos_proj, _ = self._mask_pos(masks, mask_feature)
         tgt_dummy = jnp.full((S_cur,), -1, jnp.int32)
         new_state = self._activate_slots(
-            state, activated, emb, tgt_dummy, raw_pos_proj, invalid_for_query
+            state, activated, emb, tgt_dummy, raw_pos_proj, invalid_for_query,
+            pos_update_for_query=valid,
         )
         new_state, src = new_state
 

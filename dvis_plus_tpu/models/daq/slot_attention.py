@@ -42,7 +42,13 @@ class SlotAttention(nn.Module):
         inputs: jnp.ndarray,  # (B, N, C) values
         inputs_k: jnp.ndarray,  # (B, N, C) keys source
         slots: jnp.ndarray,  # (B, M, C) slot queries
+        row_valid: Optional[jnp.ndarray] = None,  # (B, N) = (B, M) live rows
     ) -> jnp.ndarray:
+        """``row_valid`` masks DEAD slot-table rows out of both coupling axes
+        (softmax over slots AND the input-normalizing sum): the reference's
+        slot list is dynamically sized so dead rows simply don't exist there
+        (slot_attention.py:57-65) — on the static table they must not shift
+        live slots' attention."""
         k = nn.Dense(self.slot_size, use_bias=False, name="project_k")(
             nn.LayerNorm(epsilon=1e-5, name="norm_inputs")(inputs_k)
         )
@@ -52,8 +58,14 @@ class SlotAttention(nn.Module):
         attn_logits = (self.slot_size**-0.5) * jnp.einsum(
             "bnc,bmc->bnm", k, q, preferred_element_type=jnp.float32
         )
+        if row_valid is not None:
+            attn_logits = jnp.where(
+                row_valid[:, None, :], attn_logits, jnp.float32(-1e9)
+            )
         attn = jax.nn.softmax(attn_logits, axis=-1)  # over slots
         attn = attn + self.eps
+        if row_valid is not None:
+            attn = attn * row_valid[:, :, None].astype(attn.dtype)
         attn = attn / jnp.sum(attn, axis=1, keepdims=True)  # over inputs
         return jnp.einsum("bnm,bnc->bmc", attn.astype(inputs.dtype), inputs)
 
@@ -73,6 +85,7 @@ class SlotCrossAttentionLayer(nn.Module):
         query_pos: Optional[jnp.ndarray] = None,
         slot_query: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,  # (B, 1|H, M, L) additive
+        row_valid: Optional[jnp.ndarray] = None,  # (B, M) live slot rows
     ) -> jnp.ndarray:
         if slot_query is None:
             slot_query = tgt
@@ -82,6 +95,7 @@ class SlotCrossAttentionLayer(nn.Module):
             q, k, memory, mask
         )
         updates = SlotAttention(self.dim, name="slot_attn")(
-            inputs=tgt2, inputs_k=tgt + tgt2, slots=slot_query
+            inputs=tgt2, inputs_k=tgt + tgt2, slots=slot_query,
+            row_valid=row_valid,
         )
         return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt + updates)

@@ -255,6 +255,60 @@ def load_dvis_plus_oracles():
     }
 
 
+def patch_cuda_to_cpu() -> None:
+    """Redirect ``.to("cuda")`` / ``.to("cuda")``-style device moves to CPU.
+
+    The reference DAQ cutter hard-codes ``.to("cuda")`` in its inference
+    bookkeeping (track_module.py:710, :755, readout's empty tensors) — on the
+    installed CPU torch these would raise. torch.Tensor is a Python class, so
+    the method override is plain attribute assignment (idempotent)."""
+    import torch
+
+    if getattr(torch.Tensor.to, "__dvis_tpu_cuda_patch__", False):
+        return
+    orig_to = torch.Tensor.to
+
+    def to(self, *args, **kwargs):
+        args = tuple(
+            "cpu" if (isinstance(a, str) and a.startswith("cuda")) else a
+            for a in args
+        )
+        dev = kwargs.get("device")
+        if isinstance(dev, str) and dev.startswith("cuda"):
+            kwargs["device"] = "cpu"
+        return orig_to(self, *args, **kwargs)
+
+    to.__dvis_tpu_cuda_patch__ = True
+    torch.Tensor.to = to
+
+
+def load_daq_oracles():
+    """Import the DVIS-DAQ reference modules (slot attention + the
+    VideoInstanceCutter track module) as numeric oracles.
+
+    The DAQ repo re-vendors the shared DVIS_Plus trees byte-identically
+    (modulo whitespace), so the cutter's cross-package imports
+    (``mask2former_video...video_mask2former_transformer_decoder``,
+    ``dvis_Plus.tracker``) resolve against the DVIS_Plus-repo modules loaded
+    by :func:`load_dvis_plus_oracles`."""
+    install_shims()
+    patch_cuda_to_cpu()
+    load_dvis_plus_oracles()  # provides the shared layer classes
+
+    repo = "DVIS_DAQ"
+    slot_mod = load_ref_module(repo, "dvis_daq.slot_attention")
+    daq_pkg = sys.modules["dvis_daq"]
+    daq_pkg.slot_attention = slot_mod
+    track_mod = load_ref_module(repo, "dvis_daq.track_module")
+
+    return {
+        "SlotAttention": slot_mod.SlotAttention,
+        "SlotCrossAttentionLayer": slot_mod.SlotCrossAttentionLayer,
+        "VideoInstanceCutter": track_mod.VideoInstanceCutter,
+        "VideoInstanceSequence": track_mod.VideoInstanceSequence,
+    }
+
+
 def build_torch_d2_resnet50():
     """Torch oracle replicating detectron2's caffe-style ResNet-50 backbone
     (stride-in-1x1 bottlenecks, BN frozen via .eval(), 7x7 stem + maxpool)
