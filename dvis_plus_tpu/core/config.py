@@ -47,6 +47,8 @@ class BackboneConfig:
     swin_qkv_bias: bool = True
     swin_fast_softmax: bool = False  # serving-only bf16 attention scores
     # (explicit opt-in; training keeps the fp32-softmax island policy)
+    swin_fused_attn: bool = False  # serving-only fused Pallas window
+    # attention (ops/swin_window_attn.py; fp32 softmax in VMEM, no VJP)
     # ViT-Adapter (MODEL.VIT_ADAPTER.*)
     vit_embed_dim: int = 1024
     vit_depth: int = 24

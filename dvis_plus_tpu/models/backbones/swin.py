@@ -74,6 +74,7 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay fp32)
     fast_softmax: bool = False  # opt-in bf16 attention-scores serving path
+    fused_attn: bool = False  # opt-in fused Pallas window attention (serving)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -84,9 +85,6 @@ class WindowAttention(nn.Module):
         ws = self.window_size
 
         q, k, v = _QKV(3 * C, self.qkv_bias, self.dtype, name="qkv")(x)
-        q = q.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)  # (B_, H, N, Dh)
-        k = k.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
-        v = v.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
 
         table = self.param(
             "relative_position_bias_table",
@@ -95,6 +93,20 @@ class WindowAttention(nn.Module):
         )
         idx = jnp.asarray(_rel_pos_index(ws))
         bias = table[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)  # (H, N, N)
+
+        if self.fused_attn and jax.default_backend() == "tpu":
+            # fused Pallas serving path: scores/bias/mask/softmax/PV stay in
+            # VMEM, heads sliced on lanes — no (B_, H, N, Dh) relayout and no
+            # HBM score traffic (ops/swin_window_attn.py; fp32 softmax
+            # in-kernel, so numerically tighter than fast_softmax)
+            from dvis_plus_tpu.ops.swin_window_attn import fused_window_attention
+
+            out = fused_window_attention(q, k, v, bias, mask, H)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+        q = q.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)  # (B_, H, N, Dh)
+        k = k.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
 
         if self.fast_softmax and q.dtype == jnp.bfloat16:
             # serving fast path (EXPLICIT opt-in via cfg.backbone
@@ -169,6 +181,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     dtype: Optional[jnp.dtype] = None
     fast_softmax: bool = False
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
@@ -196,7 +209,8 @@ class SwinBlock(nn.Module):
         wins = _window_partition(x, ws)
         wins = WindowAttention(
             self.dim, self.num_heads, ws, self.qkv_bias, self.dtype,
-            fast_softmax=self.fast_softmax, name="attn"
+            fast_softmax=self.fast_softmax, fused_attn=self.fused_attn,
+            name="attn"
         )(wins, mask)
         x = _window_reverse(wins, ws, B, Hp, Wp)
 
@@ -251,6 +265,7 @@ class SwinTransformer(nn.Module):
     # serving; params stay fp32; attention softmax stays fp32 unless
     # fast_softmax explicitly opts into the bf16-scores serving path)
     fast_softmax: bool = False
+    fused_attn: bool = False  # fused Pallas window attention (serving)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> Dict[str, jnp.ndarray]:
@@ -282,6 +297,7 @@ class SwinTransformer(nn.Module):
                     drop_path=float(dpr[blk_idx]),
                     dtype=self.dtype,
                     fast_softmax=self.fast_softmax,
+                    fused_attn=self.fused_attn,
                     name=f"stage{s}_block{b}",
                 )(x, training)
                 blk_idx += 1
@@ -311,6 +327,7 @@ def build_swin(cfg: BackboneConfig, dtype=None) -> SwinTransformer:
     return SwinTransformer(
         dtype=dtype,
         fast_softmax=cfg.swin_fast_softmax,
+        fused_attn=cfg.swin_fused_attn,
         window_size=cfg.swin_window_size,
         mlp_ratio=cfg.swin_mlp_ratio,
         qkv_bias=cfg.swin_qkv_bias,
