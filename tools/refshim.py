@@ -181,6 +181,77 @@ def install_shims() -> None:
     fvcore_nn.weight_init = weight_init
     fvcore.nn = fvcore_nn
 
+    # --- detectron2.utils.comm (criterion imports get_world_size) --------
+    d2_comm = _mk_module("detectron2.utils.comm")
+    d2_comm.get_world_size = lambda: 1
+    d2_comm.is_main_process = lambda: True
+    d2_utils.comm = d2_comm
+
+    # --- detectron2.projects.point_rend.point_features -------------------
+    # Faithful re-implementations of the two functions the video criterion /
+    # matcher use (detectron2/projects/point_rend/point_features.py):
+    # point_sample = grid_sample on [0,1]^2 coords (align_corners=False), and
+    # importance sampling via torch.rand — so a test can drive torch.rand /
+    # jax.random.uniform from one shared stream for exact parity.
+    d2_projects = _mk_module("detectron2.projects")
+    d2_point_rend = _mk_module("detectron2.projects.point_rend")
+    d2_point_features = _mk_module("detectron2.projects.point_rend.point_features")
+
+    def point_sample(input, point_coords, **kwargs):
+        add_dim = False
+        if point_coords.dim() == 3:
+            add_dim = True
+            point_coords = point_coords.unsqueeze(2)
+        output = F.grid_sample(input, 2.0 * point_coords - 1.0, **kwargs)
+        if add_dim:
+            output = output.squeeze(3)
+        return output
+
+    def get_uncertain_point_coords_with_randomness(
+        coarse_logits, uncertainty_func, num_points, oversample_ratio,
+        importance_sample_ratio,
+    ):
+        assert oversample_ratio >= 1
+        assert 0 <= importance_sample_ratio <= 1
+        num_boxes = coarse_logits.shape[0]
+        num_sampled = int(num_points * oversample_ratio)
+        point_coords = torch.rand(num_boxes, num_sampled, 2, device=coarse_logits.device)
+        point_logits = point_sample(coarse_logits, point_coords, align_corners=False)
+        point_uncertainties = uncertainty_func(point_logits)
+        num_uncertain_points = int(importance_sample_ratio * num_points)
+        num_random_points = num_points - num_uncertain_points
+        idx = torch.topk(point_uncertainties[:, 0, :], k=num_uncertain_points, dim=1)[1]
+        shift = num_sampled * torch.arange(num_boxes, dtype=torch.long, device=coarse_logits.device)
+        idx += shift[:, None]
+        point_coords = point_coords.view(-1, 2)[idx.view(-1), :].view(
+            num_boxes, num_uncertain_points, 2
+        )
+        if num_random_points > 0:
+            point_coords = torch.cat(
+                [
+                    point_coords,
+                    torch.rand(num_boxes, num_random_points, 2, device=coarse_logits.device),
+                ],
+                dim=1,
+            )
+        return point_coords
+
+    d2_point_features.point_sample = point_sample
+    d2_point_features.get_uncertain_point_coords_with_randomness = (
+        get_uncertain_point_coords_with_randomness
+    )
+    d2_point_rend.point_features = d2_point_features
+    d2_projects.point_rend = d2_point_rend
+    d2.projects = d2_projects
+
+    # --- mask2former.utils.misc (imports torchvision; shim the one helper
+    # the criterion uses) --------------------------------------------------
+    _ensure_pkg("mask2former", os.path.join(REF_ROOT, "DVIS_Plus", "mask2former"))
+    _ensure_pkg("mask2former.utils", os.path.join(REF_ROOT, "DVIS_Plus", "mask2former", "utils"))
+    m2f_misc = _mk_module("mask2former.utils.misc")
+    m2f_misc.is_dist_avail_and_initialized = lambda: False
+    sys.modules["mask2former.utils"].misc = m2f_misc
+
 
 def _ensure_pkg(fullname: str, path: str) -> None:
     """Register ``fullname`` as a hollow package rooted at ``path`` without
@@ -306,6 +377,25 @@ def load_daq_oracles():
         "SlotCrossAttentionLayer": slot_mod.SlotCrossAttentionLayer,
         "VideoInstanceCutter": track_mod.VideoInstanceCutter,
         "VideoInstanceSequence": track_mod.VideoInstanceSequence,
+    }
+
+
+def load_criterion_oracles():
+    """Import the reference training criterion + matchers as numeric oracles
+    (mask2former_video/modeling/{criterion,matcher}.py — VideoSetCriterion,
+    VideoHungarianMatcher, VideoHungarianMatcher_Consistent). Pure torch plus
+    the point_rend / comm / misc shims installed above."""
+    install_shims()
+    patch_cuda_to_cpu()
+    repo = "DVIS_Plus"
+    matcher_mod = load_ref_module(repo, "mask2former_video.modeling.matcher")
+    vid_pkg = sys.modules["mask2former_video.modeling"]
+    vid_pkg.matcher = matcher_mod
+    crit_mod = load_ref_module(repo, "mask2former_video.modeling.criterion")
+    return {
+        "VideoSetCriterion": crit_mod.VideoSetCriterion,
+        "VideoHungarianMatcher": matcher_mod.VideoHungarianMatcher,
+        "VideoHungarianMatcher_Consistent": matcher_mod.VideoHungarianMatcher_Consistent,
     }
 
 
