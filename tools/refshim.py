@@ -399,6 +399,25 @@ def load_criterion_oracles():
     }
 
 
+def load_daq_criterion_oracles():
+    """Import the reference DAQ training criterion + matchers
+    (DVIS_DAQ/dvis_daq/{criterion,matcher}.py — DAQCriterion, FrameMatcher,
+    NewInsHungarianMatcher) as numeric oracles. Pure torch + scipy plus the
+    point_rend / comm / misc shims installed above."""
+    install_shims()
+    patch_cuda_to_cpu()
+    repo = "DVIS_DAQ"
+    matcher_mod = load_ref_module(repo, "dvis_daq.matcher")
+    daq_pkg = sys.modules["dvis_daq"]
+    daq_pkg.matcher = matcher_mod
+    crit_mod = load_ref_module(repo, "dvis_daq.criterion")
+    return {
+        "DAQCriterion": crit_mod.DAQCriterion,
+        "FrameMatcher": matcher_mod.FrameMatcher,
+        "NewInsHungarianMatcher": matcher_mod.NewInsHungarianMatcher,
+    }
+
+
 def build_torch_d2_resnet50():
     """Torch oracle replicating detectron2's caffe-style ResNet-50 backbone
     (stride-in-1x1 bottlenecks, BN frozen via .eval(), 7x7 stem + maxpool)
