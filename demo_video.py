@@ -123,12 +123,12 @@ def main():
             lambda r, i: model.init(r, i, jnp.asarray(tc), tuple(nt))
         )(jax.random.key(0), jnp.zeros(shape, jnp.float32))
         if cfg.weights:
-            params = ckpt.load_weights(cfg.weights, params)
+            params = ckpt.load_weights(cfg.weights, params, cfg=cfg)
     else:
         model = build_model(cfg)
         params = init_params(cfg, model, jax.random.key(0))
         if cfg.weights:
-            params = ckpt.load_weights(cfg.weights, params)
+            params = ckpt.load_weights(cfg.weights, params, cfg=cfg)
 
     frame_files = sorted(
         os.path.join(args.input, f)

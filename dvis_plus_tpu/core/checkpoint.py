@@ -38,14 +38,30 @@ def restore(path: str, template: Any) -> Any:
     return ckptr.restore(os.path.abspath(path), template)
 
 
-def load_weights(path: str, params: Dict, subtree: Optional[str] = None) -> Dict:
+def load_weights(path: str, params: Dict, subtree: Optional[str] = None,
+                 cfg=None) -> Dict:
     """Partial params load: entries present in the checkpoint override the
     template; missing entries keep their (fresh) initialization — matching
-    DetectionCheckpointer's non-strict load used for stage chaining."""
-    import orbax.checkpoint as ocp
+    DetectionCheckpointer's non-strict load used for stage chaining.
 
-    ckptr = ocp.PyTreeCheckpointer()
-    loaded = ckptr.restore(os.path.abspath(path))
+    Reference zoo checkpoints (``.pth``/``.pt``/``.pkl``/``.npz``) are
+    converted on the fly via ``zoo_convert.convert_reference_checkpoint``
+    when ``cfg`` is given (the reference's ``MODEL.WEIGHTS`` accepts zoo
+    ``.pth`` directly; so does ours)."""
+    if os.path.splitext(path)[1] in (".pth", ".pt", ".pkl", ".npz"):
+        if cfg is None:
+            raise ValueError(
+                f"{path}: torch zoo checkpoints need cfg for arch-routed "
+                "conversion (pass cfg to load_weights)"
+            )
+        from dvis_plus_tpu.core.zoo_convert import convert_reference_checkpoint
+
+        loaded = convert_reference_checkpoint(load_torch_state_dict(path), cfg)
+    else:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        loaded = ckptr.restore(os.path.abspath(path))
     if subtree:
         for k in subtree.split("/"):
             loaded = loaded[k]

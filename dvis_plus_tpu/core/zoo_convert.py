@@ -181,9 +181,10 @@ def convert_tracker(sd: Dict[str, np.ndarray], num_layers: int = 6,
     return p
 
 
-def convert_refiner(sd: Dict[str, np.ndarray], num_layers: int = 6,
-                    heads: int = 8) -> Dict:
-    """``refiner.*`` (dvis_Plus/refiner.py:6-227) -> our TemporalRefiner."""
+def _refiner_body(sd: Dict[str, np.ndarray], num_layers: int,
+                  heads: int) -> Dict:
+    """The refiner transformer body + shared heads (everything except the
+    class head, which differs between close-vocab and OV variants)."""
 
     def conv1d(key):
         w = np.asarray(sd[key + ".weight"])  # (C_out, C_in, k)
@@ -207,9 +208,97 @@ def convert_refiner(sd: Dict[str, np.ndarray], num_layers: int = 6,
             "norm": _ln(sd, f"conv_norms.{i}"),
         }
     p["decoder_norm"] = _ln(sd, "decoder_norm")
-    p["class_embed"] = _dense(sd, "class_embed")
     p["mask_embed"] = _mlp(sd, "mask_embed")
     p["activation_proj"] = _dense(sd, "activation_proj")
+    return p
+
+
+def convert_refiner(sd: Dict[str, np.ndarray], num_layers: int = 6,
+                    heads: int = 8) -> Dict:
+    """``refiner.*`` (dvis_Plus/refiner.py:6-227) -> our TemporalRefiner."""
+    p = _refiner_body(sd, num_layers, heads)
+    p["class_embed"] = _dense(sd, "class_embed")
+    return p
+
+
+def _ov_head(sd: Dict[str, np.ndarray]) -> Dict:
+    """The FC-CLIP class head key group (ov_dvis/video_mask2former_
+    transformer_decoder_ov.py:199-205: ``_mask_pooling_proj`` = LayerNorm +
+    Linear, ``class_embed`` = 3-layer MLP into CLIP space, ``logit_scale``).
+    The reference attaches ONE instance to the segmenter predictor and shares
+    the module objects with tracker/refiner (meta_architecture_ov.py:
+    1110-1122, 1906-1933) — torch re-registers shared modules under each
+    parent, so every subtree carries identical copies of these keys."""
+    return {
+        "maskpool_norm": _ln(sd, "_mask_pooling_proj.0"),
+        "maskpool_proj": _dense(sd, "_mask_pooling_proj.1"),
+        "class_embed": _mlp(sd, "class_embed"),
+        "logit_scale": np.asarray(sd["logit_scale"]),
+    }
+
+
+def convert_ov_decoder(sd: Dict[str, np.ndarray], num_layers: int = 9,
+                       heads: int = 8, num_levels: int = 3) -> Dict:
+    """``sem_seg_head.predictor.*`` of an OV checkpoint
+    (``VideoMultiScaleMaskedTransformerDecoder_dvis_OV``/``_minvis_OV``,
+    ov_dvis/video_mask2former_transformer_decoder_ov.py:70-377) -> our
+    OVMaskedTransformerDecoder params."""
+    p: Dict[str, Any] = {
+        "query_feat": np.asarray(sd["query_feat.weight"]),
+        "query_embed": np.asarray(sd["query_embed.weight"]),
+        "level_embed": np.asarray(sd["level_embed.weight"]),
+        "decoder_norm": _ln(sd, "decoder_norm"),
+        "mask_embed": _mlp(sd, "mask_embed"),
+        "ov_head": _ov_head(sd),
+    }
+    for i in range(num_levels):
+        if f"input_proj.{i}.weight" in sd:
+            p[f"input_proj_{i}"] = _conv(sd, f"input_proj.{i}")
+    for i in range(num_layers):
+        p[f"self_{i}"] = _self_attn_layer(sd, f"transformer_self_attention_layers.{i}", heads)
+        p[f"cross_{i}"] = _cross_attn_layer(sd, f"transformer_cross_attention_layers.{i}", heads)
+        p[f"ffn_{i}"] = _ffn_layer(sd, f"transformer_ffn_layers.{i}")
+    return p
+
+
+def convert_ov_tracker(sd: Dict[str, np.ndarray], num_layers: int = 6,
+                       heads: int = 8) -> Dict:
+    """``tracker.*`` of an OV checkpoint (``ReferringTracker_noiser_OV``,
+    ov_dvis/video_dvis_modules_ov.py:28-313) -> our ReferringTracker(ov=True).
+    No ``mask_feature_proj`` (OV pools raw mask features) and no (K+1) class
+    head; instead ``merge`` + the shared FC-CLIP head re-registered under
+    ``tracker.*``."""
+    step: Dict[str, Any] = {}
+    for i in range(num_layers):
+        step[f"self_{i}"] = _self_attn_layer(sd, f"transformer_self_attention_layers.{i}", heads)
+        step[f"cross_{i}"] = _cross_attn_layer(sd, f"transformer_cross_attention_layers.{i}", heads)
+        step[f"ffn_{i}"] = _ffn_layer(sd, f"transformer_ffn_layers.{i}")
+    step["ref_proj"] = _mlp(sd, "ref_proj")
+    head = _ov_head(sd)
+    return {
+        "frame_step": step,
+        "decoder_norm": _ln(sd, "decoder_norm"),
+        "mask_embed": _mlp(sd, "mask_embed"),
+        "merge": _dense(sd, "merge"),
+        "maskpool_norm": head["maskpool_norm"],
+        "maskpool_proj": head["maskpool_proj"],
+        "class_embed_ov": head["class_embed"],
+        "logit_scale": head["logit_scale"],
+    }
+
+
+def convert_ov_refiner(sd: Dict[str, np.ndarray], num_layers: int = 6,
+                       heads: int = 8) -> Dict:
+    """``refiner.*`` of an OV checkpoint (``TemporalRefiner_OV``,
+    ov_dvis/video_dvis_modules_ov.py:315-599) -> our TemporalRefiner(ov=True).
+    Same transformer body as the close-vocab refiner; the class head is the
+    shared FC-CLIP group re-registered under ``refiner.*``."""
+    p = _refiner_body(sd, num_layers, heads)
+    head = _ov_head(sd)
+    p["maskpool_norm"] = head["maskpool_norm"]
+    p["maskpool_proj"] = head["maskpool_proj"]
+    p["class_embed_ov"] = head["class_embed"]
+    p["logit_scale"] = head["logit_scale"]
     return p
 
 
@@ -267,12 +356,80 @@ def convert_daq_cutter(sd: Dict[str, np.ndarray], num_layers: int = 6,
     return p
 
 
+def convert_clip_visual_head(clip_sd: Dict[str, np.ndarray]) -> Dict:
+    """open_clip ConvNeXt-d projection head (``visual.trunk.head.norm`` +
+    ``visual.head.mlp.fc1/fc2``, applied in that order by the reference's
+    ``visual_prediction_forward_convnext``, ov_dvis/backbones/clip.py:147-152)
+    -> our CLIPVisualHead params."""
+    return {
+        "head_norm": _ln(clip_sd, "visual.trunk.head.norm"),
+        "proj_fc1": _dense(clip_sd, "visual.head.mlp.fc1"),
+        "proj_fc2": _dense(clip_sd, "visual.head.mlp.fc2"),
+    }
+
+
+def convert_ov_segmenter(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """Whole-OV-segmenter (``MinVIS_OV`` key space, meta_architecture_ov.py):
+    frozen CLIP ConvNeXt backbone + pixel decoder + OV predictor + the learned
+    void embedding rows (``void_embedding`` + ``additional_void_embedding``,
+    :152-157) -> our OVSegmenter params."""
+    from dvis_plus_tpu.models.ov.clip_backbone import convert_open_clip_convnext
+
+    td = cfg.model.transformer_decoder
+    clip_sd = _sub(sd, "backbone.clip_model.")
+    backbone = {
+        "trunk": convert_open_clip_convnext(
+            clip_sd, depths=tuple(cfg.model.backbone.clip_depths)
+        ),
+        "visual_head": convert_clip_visual_head(clip_sd),
+        "logit_scale": np.asarray(clip_sd["logit_scale"]),
+    }
+    void = [np.asarray(sd["void_embedding.weight"])]
+    if "additional_void_embedding.weight" in sd:
+        void.append(np.asarray(sd["additional_void_embedding.weight"]))
+    return {
+        "backbone": backbone,
+        "pixel_decoder": convert_pixel_decoder(
+            _sub(sd, "sem_seg_head.pixel_decoder."),
+            num_enc_layers=cfg.model.pixel_decoder.transformer_enc_layers,
+        ),
+        "transformer_decoder": convert_ov_decoder(
+            _sub(sd, "sem_seg_head.predictor."),
+            num_layers=td.dec_layers,
+            heads=td.nheads,
+        ),
+        "void_embedding": np.concatenate(void, axis=0),
+    }
+
+
 def convert_reference_checkpoint(state_dict: Dict[str, np.ndarray], cfg) -> Dict:
     """Whole-model conversion routed by the config's architecture. Returns a
     ``{"params": ...}`` tree shaped for our meta-architectures (Segmenter /
-    DVISOnline / DVISOffline)."""
+    DVISOnline / DVISOffline and the OV variants)."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     td = cfg.model.transformer_decoder
+
+    arch = cfg.model.meta_architecture
+    if arch in ("minvis_ov", "dvis_online_ov", "dvis_offline_ov"):
+        seg = convert_ov_segmenter(sd, cfg)
+        if arch == "minvis_ov":
+            return {"params": seg}
+        tracker = convert_ov_tracker(
+            _sub(sd, "tracker."), num_layers=cfg.model.tracker.num_layers,
+            heads=cfg.model.tracker.num_heads,
+        )
+        if arch == "dvis_online_ov":
+            return {"params": {"segmenter": seg, "tracker": tracker}}
+        refiner = convert_ov_refiner(
+            _sub(sd, "refiner."), num_layers=cfg.model.refiner.num_layers,
+            heads=cfg.model.refiner.num_heads,
+        )
+        return {
+            "params": {
+                "online": {"segmenter": seg, "tracker": tracker},
+                "refiner": refiner,
+            }
+        }
 
     name = cfg.model.backbone.name
     if name.startswith("resnet"):

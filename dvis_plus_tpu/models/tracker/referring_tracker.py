@@ -241,7 +241,12 @@ class ReferringTracker(nn.Module):
         if rng is None:
             rng = jax.random.key(0)
 
-        mask_features = nn.Dense(self.mask_dim, dtype=mask_features.dtype, name="mask_feature_proj")(mask_features)
+        if not self.ov:
+            # the OV reference tracker has NO mask_feature_proj — it masks and
+            # pools the segmenter's raw mask features (ov_dvis/
+            # video_dvis_modules_ov.py:28-100 registers no such layer; cf.
+            # close-vocab tracker.py:166)
+            mask_features = nn.Dense(self.mask_dim, dtype=mask_features.dtype, name="mask_feature_proj")(mask_features)
 
         if state is None:
             state = init_tracker_state(B, Q, C, frame_embeds.dtype)

@@ -60,6 +60,10 @@ def synthetic_reference_state_dict(cfg) -> Dict[str, np.ndarray]:
         for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
             lin(f"{key}.layers.{i}", dout, din)
 
+    arch = cfg.model.meta_architecture
+    if arch in ("minvis_ov", "dvis_online_ov", "dvis_offline_ov"):
+        return _synthetic_ov_state_dict(cfg, sd, t, lin, ln, mha, mlp)
+
     # --- d2 ResNet-50 ---
     assert cfg.model.backbone.name == "resnet50", "synthetic dict covers R50"
 
@@ -182,6 +186,140 @@ def synthetic_reference_state_dict(cfg) -> Dict[str, np.ndarray]:
     lin("refiner.class_embed", K1, C2)
     mlp("refiner.mask_embed", (C2, C2, C2, D))
     lin("refiner.activation_proj", 1, C2)
+    return sd
+
+
+def _synthetic_ov_state_dict(cfg, sd, t, lin, ln, mha, mlp) -> Dict[str, np.ndarray]:
+    """OV zoo key space (ov_dvis meta_architecture_ov.py): open_clip ConvNeXt
+    backbone (``backbone.clip_model.visual.*``), the OV predictor with the
+    FC-CLIP head, ``void_embedding``, and the OV tracker/refiner whose shared
+    head modules are re-registered under ``tracker.*`` / ``refiner.*``."""
+    bb = cfg.model.backbone
+    depths, dims = tuple(bb.clip_depths), tuple(bb.clip_dims)
+    emb = cfg.model.ov.clip_embed_dim
+
+    # --- open_clip ConvNeXt trunk (timm naming) ---
+    g = "backbone.clip_model.visual.trunk"
+    sd[f"{g}.stem.0.weight"] = t(dims[0], 3, 4, 4)
+    sd[f"{g}.stem.0.bias"] = t(dims[0])
+    ln(f"{g}.stem.1", dims[0])
+    for s, depth in enumerate(depths):
+        if s > 0:
+            ln(f"{g}.stages.{s}.downsample.0", dims[s - 1])
+            sd[f"{g}.stages.{s}.downsample.1.weight"] = t(dims[s], dims[s - 1], 2, 2)
+            sd[f"{g}.stages.{s}.downsample.1.bias"] = t(dims[s])
+        for b in range(depth):
+            pre = f"{g}.stages.{s}.blocks.{b}"
+            sd[f"{pre}.conv_dw.weight"] = t(dims[s], 1, 7, 7)
+            sd[f"{pre}.conv_dw.bias"] = t(dims[s])
+            ln(f"{pre}.norm", dims[s])
+            lin(f"{pre}.mlp.fc1", 4 * dims[s], dims[s])
+            lin(f"{pre}.mlp.fc2", dims[s], 4 * dims[s])
+            sd[f"{pre}.gamma"] = t(dims[s])
+    # projection head: trunk.head.norm -> visual.head.mlp (clip.py:147-152)
+    ln(f"{g}.head.norm", dims[-1])
+    lin("backbone.clip_model.visual.head.mlp.fc1", dims[-1], dims[-1])
+    lin("backbone.clip_model.visual.head.mlp.fc2", emb, dims[-1])
+    sd["backbone.clip_model.logit_scale"] = np.float32(np.log(1 / 0.07))
+    sd["void_embedding.weight"] = t(1, emb)
+
+    # --- pixel decoder over the CLIP pyramid ---
+    pd = cfg.model.pixel_decoder
+    C = pd.conv_dim
+    chans = {"res3": dims[1], "res4": dims[2], "res5": dims[3]}
+    pre = "sem_seg_head.pixel_decoder"
+    for i, feat in enumerate(["res5", "res4", "res3"]):
+        sd[f"{pre}.input_proj.{i}.0.weight"] = t(C, chans[feat], 1, 1)
+        sd[f"{pre}.input_proj.{i}.0.bias"] = t(C)
+        ln(f"{pre}.input_proj.{i}.1", C)
+    sd[f"{pre}.transformer.level_embed"] = t(3, C)
+    for li in range(pd.transformer_enc_layers):
+        e = f"{pre}.transformer.encoder.layers.{li}"
+        lin(f"{e}.self_attn.value_proj", C, C)
+        lin(f"{e}.self_attn.sampling_offsets", pd.transformer_nheads * 3 * pd.num_points * 2, C)
+        lin(f"{e}.self_attn.attention_weights", pd.transformer_nheads * 3 * pd.num_points, C)
+        lin(f"{e}.self_attn.output_proj", C, C)
+        ln(f"{e}.norm1", C)
+        lin(f"{e}.linear1", pd.transformer_dim_feedforward, C)
+        lin(f"{e}.linear2", C, pd.transformer_dim_feedforward)
+        ln(f"{e}.norm2", C)
+    sd[f"{pre}.mask_features.weight"] = t(pd.mask_dim, C, 1, 1)
+    sd[f"{pre}.mask_features.bias"] = t(pd.mask_dim)
+    sd[f"{pre}.adapter_1.weight"] = t(C, dims[0], 1, 1)
+    ln(f"{pre}.adapter_1.norm", C)
+    sd[f"{pre}.layer_1.weight"] = t(C, C, 3, 3)
+    ln(f"{pre}.layer_1.norm", C)
+
+    # --- OV predictor (FC-CLIP head, decoder_ov.py:179-205) ---
+    td = cfg.model.transformer_decoder
+    D = td.hidden_dim
+    pre = "sem_seg_head.predictor"
+    sd[f"{pre}.query_feat.weight"] = t(td.num_queries, D)
+    sd[f"{pre}.query_embed.weight"] = t(td.num_queries, D)
+    sd[f"{pre}.level_embed.weight"] = t(3, D)
+    ln(f"{pre}.decoder_norm", D)
+    mlp(f"{pre}.mask_embed", (D, D, D, td.mask_dim))
+    if C != D:
+        for i in range(3):
+            sd[f"{pre}.input_proj.{i}.weight"] = t(D, C, 1, 1)
+            sd[f"{pre}.input_proj.{i}.bias"] = t(D)
+    for i in range(td.dec_layers):
+        mha(f"{pre}.transformer_self_attention_layers.{i}.self_attn", D)
+        ln(f"{pre}.transformer_self_attention_layers.{i}.norm", D)
+        mha(f"{pre}.transformer_cross_attention_layers.{i}.multihead_attn", D)
+        ln(f"{pre}.transformer_cross_attention_layers.{i}.norm", D)
+        lin(f"{pre}.transformer_ffn_layers.{i}.linear1", td.dim_feedforward, D)
+        lin(f"{pre}.transformer_ffn_layers.{i}.linear2", D, td.dim_feedforward)
+        ln(f"{pre}.transformer_ffn_layers.{i}.norm", D)
+
+    def ov_head(scope):
+        ln(f"{scope}._mask_pooling_proj.0", D)
+        lin(f"{scope}._mask_pooling_proj.1", D, D)
+        mlp(f"{scope}.class_embed", (D, D, D, emb))
+        sd[f"{scope}.logit_scale"] = np.float32(np.log(1 / 0.07))
+
+    ov_head(pre)
+    if cfg.model.meta_architecture == "minvis_ov":
+        return sd
+
+    # --- OV tracker (hidden = D, no reid doubling; shared head re-registered) ---
+    tr = cfg.model.tracker
+    for i in range(tr.num_layers):
+        mha(f"tracker.transformer_self_attention_layers.{i}.self_attn", D)
+        ln(f"tracker.transformer_self_attention_layers.{i}.norm", D)
+        mha(f"tracker.transformer_cross_attention_layers.{i}.multihead_attn", D)
+        ln(f"tracker.transformer_cross_attention_layers.{i}.norm", D)
+        lin(f"tracker.transformer_ffn_layers.{i}.linear1", tr.feedforward_dim, D)
+        lin(f"tracker.transformer_ffn_layers.{i}.linear2", D, tr.feedforward_dim)
+        ln(f"tracker.transformer_ffn_layers.{i}.norm", D)
+    mlp("tracker.ref_proj", (D, D, D, D))
+    lin("tracker.merge", D, 2 * D)
+    ln("tracker.decoder_norm", D)
+    mlp("tracker.mask_embed", (D, D, D, td.mask_dim))
+    ov_head("tracker")
+    if cfg.model.meta_architecture == "dvis_online_ov":
+        return sd
+
+    # --- OV refiner ---
+    rf = cfg.model.refiner
+    for i in range(rf.num_layers):
+        for grp in ("time_self", "obj_self"):
+            mha(f"refiner.transformer_{grp}_attention_layers.{i}.self_attn", D)
+            ln(f"refiner.transformer_{grp}_attention_layers.{i}.norm", D)
+        mha(f"refiner.transformer_cross_attention_layers.{i}.multihead_attn", D)
+        ln(f"refiner.transformer_cross_attention_layers.{i}.norm", D)
+        lin(f"refiner.transformer_ffn_layers.{i}.linear1", rf.feedforward_dim, D)
+        lin(f"refiner.transformer_ffn_layers.{i}.linear2", D, rf.feedforward_dim)
+        ln(f"refiner.transformer_ffn_layers.{i}.norm", D)
+        sd[f"refiner.conv_short_aggregate_layers.{i}.0.weight"] = t(D, D, 5)
+        sd[f"refiner.conv_short_aggregate_layers.{i}.0.bias"] = t(D)
+        sd[f"refiner.conv_short_aggregate_layers.{i}.2.weight"] = t(D, D, 3)
+        sd[f"refiner.conv_short_aggregate_layers.{i}.2.bias"] = t(D)
+        ln(f"refiner.conv_norms.{i}", D)
+    ln("refiner.decoder_norm", D)
+    mlp("refiner.mask_embed", (D, D, D, td.mask_dim))
+    lin("refiner.activation_proj", 1, D)
+    ov_head("refiner")
     return sd
 
 

@@ -399,6 +399,49 @@ def load_criterion_oracles():
     }
 
 
+def load_ov_oracles():
+    """Import the OV-DVIS++ reference modules (the OV transformer decoder and
+    the OV tracker/refiner, DVIS_Plus/ov_dvis/{video_mask2former_transformer_
+    decoder_ov,video_dvis_modules_ov}.py) as numeric oracles. They are pure
+    torch + einops; the CLIP backbone (open_clip) is NOT needed — the heads
+    take precomputed text classifiers."""
+    install_shims()
+    patch_cuda_to_cpu()
+    load_dvis_plus_oracles()  # shared layer classes + dvis_Plus.{tracker,noiser}
+
+    repo = "DVIS_Plus"
+    # registry host for the OV decoder's @register decorator (absolute import
+    # in the leaf; load bottom-up so the hollow transformer_decoder package
+    # never executes its real __init__)
+    pe_mod = load_ref_module(
+        repo, "mask2former.modeling.transformer_decoder.position_encoding"
+    )
+    td_pkg = sys.modules["mask2former.modeling.transformer_decoder"]
+    td_pkg.position_encoding = pe_mod
+    mtd_mod = load_ref_module(
+        repo, "mask2former.modeling.transformer_decoder.maskformer_transformer_decoder"
+    )
+    td_pkg.maskformer_transformer_decoder = mtd_mod
+
+    dec_mod = load_ref_module(repo, "ov_dvis.video_mask2former_transformer_decoder_ov")
+    ov_pkg = sys.modules["ov_dvis"]
+    ov_pkg.video_mask2former_transformer_decoder_ov = dec_mod
+    mod_mod = load_ref_module(repo, "ov_dvis.video_dvis_modules_ov")
+
+    return {
+        "MaskPooling": dec_mod.MaskPooling,
+        "VideoMultiScaleMaskedTransformerDecoder_dvis_OV": (
+            dec_mod.VideoMultiScaleMaskedTransformerDecoder_dvis_OV
+        ),
+        "VideoMultiScaleMaskedTransformerDecoder_minvis_OV": (
+            dec_mod.VideoMultiScaleMaskedTransformerDecoder_minvis_OV
+        ),
+        "get_classification_logits": mod_mod.get_classification_logits,
+        "ReferringTracker_noiser_OV": mod_mod.ReferringTracker_noiser_OV,
+        "TemporalRefiner_OV": mod_mod.TemporalRefiner_OV,
+    }
+
+
 def load_daq_criterion_oracles():
     """Import the reference DAQ training criterion + matchers
     (DVIS_DAQ/dvis_daq/{criterion,matcher}.py — DAQCriterion, FrameMatcher,

@@ -121,7 +121,7 @@ def do_train(cfg, args):
     rng = jax.random.key(cfg.seed)
     params = init_params(cfg, model, rng)
     if cfg.weights:
-        params = ckpt.load_weights(cfg.weights, params)
+        params = ckpt.load_weights(cfg.weights, params, cfg=cfg)
 
     train_step, init_state = build_train_step(cfg, model)
     state = init_state(params)
@@ -182,7 +182,7 @@ def do_eval(cfg, args):
     model = build_model(cfg)
     params = init_params(cfg, model, jax.random.key(0))
     if cfg.weights:
-        params = ckpt.load_weights(cfg.weights, params)
+        params = ckpt.load_weights(cfg.weights, params, cfg=cfg)
 
     results = {}
     types = list(cfg.datasets.dataset_type_test) or []

@@ -184,7 +184,7 @@ def do_train(cfg, args, encode_fn):
         lambda r, i: model.init(r, i, jnp.asarray(tc), tuple(nt))
     )(jax.random.key(cfg.seed), images)
     if cfg.weights:
-        params = ckpt.load_weights(cfg.weights, params)
+        params = ckpt.load_weights(cfg.weights, params, cfg=cfg)
 
     train_step, init_state = build_train_step(
         cfg, model, text_classifier=tc, num_templates=nt
@@ -254,7 +254,7 @@ def do_eval(cfg, args, encode_fn):
                 lambda r, i: model.init(r, i, jnp.asarray(tc), tuple(nt))
             )(jax.random.key(0), jnp.zeros(shape, jnp.float32))
             if cfg.weights:
-                params = ckpt.load_weights(cfg.weights, params)
+                params = ckpt.load_weights(cfg.weights, params, cfg=cfg)
         md = get_metadata(dataset_name)
         evaluator = YTVISEvaluator(
             dataset_name,
