@@ -77,6 +77,9 @@ def main():
 
     from dvis_plus_tpu.core.config import load_config
     from dvis_plus_tpu.core import checkpoint as ckpt
+    from dvis_plus_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     from dvis_plus_tpu.data.catalog import get_metadata, is_registered
     from dvis_plus_tpu.data.mapper import YTVISDatasetMapper
     from dvis_plus_tpu.engine.inference import _online_video, _minvis_video

@@ -1,0 +1,39 @@
+"""Opt-in persistent XLA compilation cache for the CLIs.
+
+Serving/eval compiles are the dominant startup cost on TPU (the full-size
+offline graph takes minutes, and length-bucketed eval compiles one refiner
+graph per bucket). XLA can persist compiled executables keyed by HLO
+fingerprint, so reruns of the same config skip compilation entirely — the
+TPU-idiomatic replacement for the reference's "no compile step" torch UX.
+
+Enable by setting ``DVIS_COMPILE_CACHE_DIR=/path/to/cache`` (opt-in so CI
+compile-count assertions and one-shot runs are unaffected).
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+
+def enable_persistent_compilation_cache() -> str | None:
+    """Enable the on-disk XLA compile cache if DVIS_COMPILE_CACHE_DIR is set.
+
+    Returns the cache path when enabled, else None. Safe to call multiple
+    times and before/after other jax imports (flags only affect compiles
+    issued afterwards).
+    """
+    path = os.environ.get("DVIS_COMPILE_CACHE_DIR", "")
+    if not path:
+        return None
+    import jax
+
+    path = os.path.abspath(os.path.expanduser(path))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # persist anything that took real compile time; tiny host-side jits are
+    # cheaper to recompile than to hash + deserialize
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    logger.info("persistent XLA compilation cache: %s", path)
+    return path

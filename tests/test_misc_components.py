@@ -166,3 +166,24 @@ def test_vps_inference_helpers():
     )
     assert sem.shape == (T, 60, 64)
     assert int(jnp.max(sem)) < K
+
+
+def test_persistent_compilation_cache_env(tmp_path, monkeypatch):
+    """DVIS_COMPILE_CACHE_DIR opts into the on-disk XLA compile cache; unset
+    leaves jax untouched (CI compile-count tests rely on that)."""
+    import jax
+
+    from dvis_plus_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+    monkeypatch.delenv("DVIS_COMPILE_CACHE_DIR", raising=False)
+    assert enable_persistent_compilation_cache() is None
+
+    cache = tmp_path / "xla-cache"
+    monkeypatch.setenv("DVIS_COMPILE_CACHE_DIR", str(cache))
+    path = enable_persistent_compilation_cache()
+    assert path == str(cache) and cache.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+    # a compile above the persistence threshold would land in `cache`; just
+    # exercise a jit to ensure the flags don't break compilation
+    assert float(jax.jit(lambda x: x * 2)(3.0)) == 6.0
+    jax.config.update("jax_compilation_cache_dir", None)

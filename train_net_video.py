@@ -265,6 +265,9 @@ def main():
 
     cfg = load_config(args.config_file, args.opts)
     os.makedirs(cfg.output_dir, exist_ok=True)
+    from dvis_plus_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s: %(message)s"
     )

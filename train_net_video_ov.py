@@ -289,6 +289,9 @@ def main():
 
     cfg = load_config(args.config_file, args.opts)
     cfg.model.ov.enabled = True
+    from dvis_plus_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     os.makedirs(cfg.output_dir, exist_ok=True)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s: %(message)s")
     save_config(cfg, os.path.join(cfg.output_dir, "config.yaml"))
