@@ -146,6 +146,13 @@ def do_train(cfg, args):
 
     curriculum_rng = _random.Random(cfg.seed + 17)
     is_daq = cfg.model.meta_architecture.startswith("daq")
+    # on-TPU tracing window: DVIS_PROFILE_DIR=<dir> [DVIS_PROFILE_STEPS=a-b]
+    # writes an xplane trace viewable with XProf / tools/profiling/
+    # parse_xplane.py (SURVEY §5.1 trace hooks)
+    prof_dir = os.environ.get("DVIS_PROFILE_DIR", "")
+    prof_lo, _, _hi = os.environ.get("DVIS_PROFILE_STEPS", "5-8").partition("-")
+    prof_lo, prof_hi = int(prof_lo), int(_hi or int(prof_lo) + 3)
+    prof_on = False
     for step in range(start_step, cfg.solver.max_iter):
         raw = next(loader)
         if is_daq:
@@ -162,6 +169,15 @@ def do_train(cfg, args):
             ),
         )
         batch = shard_batch(batch, mesh)
+        if prof_dir:
+            if step == prof_lo and not prof_on:
+                jax.profiler.start_trace(prof_dir)
+                prof_on = True
+            elif step == prof_hi and prof_on:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                prof_on = False
+                logger.info("profiler trace written to %s", prof_dir)
         state, metrics = train_step(state, batch, rng)
         if step % log_every == 0:
             writer.write(step, {k: float(v) for k, v in metrics.items()})
@@ -170,6 +186,10 @@ def do_train(cfg, args):
             path = os.path.join(ckpt_dir, f"step_{step + 1:07d}")
             ckpt.save(path, jax.device_get(state))
             logger.info("saved %s", path)
+    if prof_dir and prof_on:  # loop ended inside the trace window
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", prof_dir)
     return state
 
 
