@@ -33,6 +33,14 @@ OVIS_CLASSES = [
 ]
 
 
+BDD_TRACK_CLASSES = [
+    # BDD100K seg-track / MOTS (reference DVIS_DAQ ytvis.py:164-175,
+    # BDD_INST_CATEGORIES == BDD_TRACK_CATEGORIES; 1-based official ids)
+    "pedestrian", "rider", "car", "truck", "bus", "train", "motorcycle",
+    "bicycle",
+]
+
+
 def thing_dataset_id_to_contiguous_id(classes) -> dict:
     """Official 1-based category id -> contiguous 0-based training id."""
     return {i + 1: i for i in range(len(classes))}

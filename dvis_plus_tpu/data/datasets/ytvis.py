@@ -20,6 +20,7 @@ from typing import Dict, List, Optional
 
 from dvis_plus_tpu.data.catalog import register_dataset
 from dvis_plus_tpu.data.datasets.categories import (
+    BDD_TRACK_CLASSES,
     OVIS_CLASSES,
     YTVIS_2019_CLASSES,
     YTVIS_2021_CLASSES,
@@ -103,9 +104,17 @@ def register_all_ytvis(root: str = "datasets") -> None:
         "ytvis_2019_test": ("ytvis_2019/test.json", "ytvis_2019/test/JPEGImages", YTVIS_2019_CLASSES),
         "ytvis_2021_train": ("ytvis_2021/train.json", "ytvis_2021/train/JPEGImages", YTVIS_2021_CLASSES),
         "ytvis_2021_val": ("ytvis_2021/valid.json", "ytvis_2021/valid/JPEGImages", YTVIS_2021_CLASSES),
+        "ytvis_2021_test": ("ytvis_2021/test.json", "ytvis_2021/test/JPEGImages", YTVIS_2021_CLASSES),
         "ytvis_2022_val_full": ("ytvis_2022/valid.json", "ytvis_2022/valid/JPEGImages", YTVIS_2021_CLASSES),
         "ovis_train": ("ovis/annotations_train.json", "ovis/train", OVIS_CLASSES),
         "ovis_val": ("ovis/annotations_valid.json", "ovis/valid", OVIS_CLASSES),
+        "ovis_test": ("ovis/annotations_test.json", "ovis/test", OVIS_CLASSES),
+        # BDD100K seg-track (MOTS; reference DAQ builtin.py:84-91 —
+        # cocoformat-uni jsons; the *_uni_ovis variant re-maps BDD to the
+        # OVIS category space for joint training)
+        "bdd_seg_track_train": ("bdd100k/labels/seg_track_20/seg_track_train_cocoformat_uni.json", "bdd100k/images/seg_track_20/train", BDD_TRACK_CLASSES),
+        "bdd_seg_track_val": ("bdd100k/labels/seg_track_20/seg_track_val_cocoformat_uni.json", "bdd100k/images/seg_track_20/val", BDD_TRACK_CLASSES),
+        "bdd2ovis_seg_track_train": ("bdd100k/labels/seg_track_20/seg_track_train_cocoformat_uni_ovis.json", "bdd100k/images/seg_track_20/train", OVIS_CLASSES),
     }
     for name, (json_rel, img_rel, classes) in specs.items():
         register_ytvis_instances(

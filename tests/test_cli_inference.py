@@ -107,6 +107,47 @@ def test_daq_eval_path(arch, synth_dataset, tmp_path):  # noqa: F811
     assert "AP" in res
 
 
+def test_mots_eval_path(tmp_path):
+    """MOTS task routing end-to-end on BDD seg-track (reference DAQ
+    train_net_video.py:91 mots->UniYTVISEvaluator over bdd_seg_track_*,
+    builtin.py:84-91): synthetic bdd100k layout -> register_all_ytvis ->
+    run_task_eval(task=mots) -> YTVIS-format rows with BDD dataset ids."""
+    import sys
+
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from synth_data import make_ytvis
+
+    from dvis_plus_tpu.data.datasets.categories import BDD_TRACK_CLASSES
+    from dvis_plus_tpu.data.datasets.ytvis import register_all_ytvis
+    from train_net_video import build_model, init_params, run_task_eval
+
+    root = str(tmp_path / "datasets")
+    make_ytvis(root, "bdd", BDD_TRACK_CLASSES, splits=("val",), layout="bdd")
+    register_all_ytvis(root)
+
+    cfg = tiny_cfg("daq_online")
+    cfg.model.num_classes = len(BDD_TRACK_CLASSES)
+    cfg.model.daq.num_new_ins = 4
+    cfg.model.daq.max_num_instances = 6
+    cfg.model.daq.inference_select_thr = 0.0
+    cfg.model.daq.aux_inference_select_thr = 0.0
+    cfg.test.task = "mots"
+    cfg.output_dir = str(tmp_path / "out")
+    model = build_model(cfg)
+    params = init_params(cfg, model, jax.random.key(0))
+    loader = build_test_loader(cfg, "bdd_seg_track_val")
+    res = run_task_eval(cfg, model, params, loader, "bdd_seg_track_val", "video_instance")
+    out_dir = os.path.join(cfg.output_dir, "inference", "bdd_seg_track_val")
+    with open(os.path.join(out_dir, "results.json")) as f:
+        rows = json.load(f)
+    assert len(rows) > 0
+    # ids are unmapped back to the official 1-based BDD category space
+    assert all(1 <= r["category_id"] <= len(BDD_TRACK_CLASSES) for r in rows)
+    assert isinstance(res, dict)
+
+
 @pytest.fixture(scope="module")
 def synth_vps_vss(tmp_path_factory):
     """VIPSeg + VSPW synthetic trees registered under their standard names."""

@@ -48,6 +48,11 @@ def make_ytvis(root: str, name: str, classes, splits=("train", "valid"),
         elif layout == "lvvis":
             img_root = os.path.join(root, name, split, "JPEGImages")
             json_file = os.path.join(root, name, f"{split}_instances.json")
+        elif layout == "bdd":
+            img_root = os.path.join(root, "bdd100k/images/seg_track_20", split)
+            json_file = os.path.join(
+                root, "bdd100k/labels/seg_track_20",
+                f"seg_track_{split}_cocoformat_uni.json")
         else:
             img_root = os.path.join(root, name, split, "JPEGImages")
             json_file = os.path.join(root, name, f"{split}.json" if split != "train" else "train.json")
@@ -212,6 +217,10 @@ def main():
             make_ytvis(args.root, "ovis", OVIS_CLASSES, layout="ovis")
         elif d == "lvvis":
             make_ytvis(args.root, "lvvis", ["a", "b"], splits=("train", "val"), layout="lvvis")
+        elif d == "bdd":
+            from dvis_plus_tpu.data.datasets.categories import BDD_TRACK_CLASSES
+            make_ytvis(args.root, "bdd", BDD_TRACK_CLASSES,
+                       splits=("train", "val"), layout="bdd")
         elif d == "vipseg":
             make_vipseg(args.root)
         elif d == "vspw":
