@@ -165,6 +165,13 @@ def build_combined_train_loader(cfg: Config, seed: int = 0) -> Iterator[dict]:
     return CombinedDataLoader(loaders, ratios, seed=seed)
 
 
+def shard_records(records: Sequence, index: int, count: int) -> List:
+    """Process-strided eval sharding (reference d2 InferenceSampler: each DDP
+    rank evaluates ``indices[rank::world_size]``; evaluators re-join rows via
+    ``gather_predictions``)."""
+    return list(records)[index::count]
+
+
 def build_test_loader(
     cfg: Config,
     dataset_name: str,
@@ -173,8 +180,14 @@ def build_test_loader(
 ) -> Iterator[dict]:
     """Sequential one-video-at-a-time eval loader (reference
     build_detection_test_loader: batch size 1, no aug randomness); the mapper
-    is routed by dataset type (reference train_net_video.py:117-127)."""
+    is routed by dataset type (reference train_net_video.py:117-127). Under
+    ``jax.distributed`` each host evaluates its process-strided shard of the
+    videos; the evaluators gather rows across hosts at ``evaluate``."""
     records = get_dataset(dataset_name)
+    import jax
+
+    if jax.process_count() > 1:
+        records = shard_records(records, jax.process_index(), jax.process_count())
     if mapper is None:
         if dataset_type is None:
             try:

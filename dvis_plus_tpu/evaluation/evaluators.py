@@ -151,10 +151,16 @@ class VPSEvaluator:
         self._annotations.append({"video_id": str(video_id), "annotations": annos})
 
     def evaluate(self) -> Dict[str, float]:
-        path = os.path.join(self.output_dir, "pred.json")
-        with open(path, "w") as f:
-            json.dump({"annotations": self._annotations}, f)
-        return {"videos": len(self._annotations)}
+        # cross-host: re-join the process-strided video shards (reference
+        # vps_eval.py:159-165 comm.gather) and write pred.json on process 0
+        from dvis_plus_tpu.evaluation.dist import gather_predictions, is_main_process
+
+        annotations = gather_predictions(self._annotations)
+        if is_main_process():
+            path = os.path.join(self.output_dir, "pred.json")
+            with open(path, "w") as f:
+                json.dump({"annotations": annotations}, f)
+        return {"videos": len(annotations)}
 
 
 class VSSEvaluator:

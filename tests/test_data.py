@@ -148,3 +148,16 @@ def test_test_loader_full_video(synth_dataset):
     assert sample["images"].shape[0] == 6  # all frames
     assert "masks" not in sample
     assert sample["images"].shape[1] % 32 == 0
+
+
+def test_shard_records_partition():
+    """Process-strided eval sharding (reference d2 InferenceSampler):
+    shards are disjoint and jointly cover the dataset."""
+    from dvis_plus_tpu.data.build import shard_records
+
+    records = [{"video_id": i} for i in range(11)]
+    for count in (1, 2, 3, 8, 16):
+        shards = [shard_records(records, i, count) for i in range(count)]
+        flat = [r["video_id"] for s in shards for r in s]
+        assert sorted(flat) == list(range(11))
+        assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
