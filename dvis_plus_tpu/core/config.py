@@ -283,6 +283,12 @@ class TestConfig:
     # over that many devices (sequence parallel, parallel/sp.py): T^2
     # attention FLOPs and O(T*Q*C) activations divide across the mesh
     refiner_shard_devices: int = 0
+    # >1 = video-parallel eval over that many local devices (0 = all):
+    # one worker thread per chip, records strided across workers
+    # (engine/parallel_eval.py — the single-process analog of the
+    # reference's one-DDP-rank-per-GPU inference). Mutually exclusive
+    # with refiner_shard_devices.
+    eval_devices: int = 1
 
 
 @dataclass

@@ -177,17 +177,22 @@ def build_test_loader(
     dataset_name: str,
     mapper: Optional[Callable] = None,
     dataset_type: Optional[str] = None,
+    shard: Optional[tuple] = None,
 ) -> Iterator[dict]:
     """Sequential one-video-at-a-time eval loader (reference
     build_detection_test_loader: batch size 1, no aug randomness); the mapper
     is routed by dataset type (reference train_net_video.py:117-127). Under
     ``jax.distributed`` each host evaluates its process-strided shard of the
-    videos; the evaluators gather rows across hosts at ``evaluate``."""
+    videos; the evaluators gather rows across hosts at ``evaluate``. An
+    explicit ``shard=(index, count)`` further stripes the host's videos across
+    local eval workers (engine/parallel_eval.py)."""
     records = get_dataset(dataset_name)
     import jax
 
     if jax.process_count() > 1:
         records = shard_records(records, jax.process_index(), jax.process_count())
+    if shard is not None:
+        records = shard_records(records, shard[0], shard[1])
     if mapper is None:
         if dataset_type is None:
             try:

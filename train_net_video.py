@@ -220,12 +220,25 @@ def do_eval(cfg, args):
 def run_task_eval(cfg, model, params, loader, dataset_name, dataset_type):
     """Route the per-dataset eval by task (reference test.task dispatch:
     inference_video_{vis,vps,vss} meta_architecture.py:818/:869/:954 +
-    per-type evaluators train_net_video.py:218-273)."""
+    per-type evaluators train_net_video.py:218-273). With
+    ``test.eval_devices>1`` the driver fans out video-parallel over the local
+    chips (engine/parallel_eval.py)."""
     from dvis_plus_tpu.data.catalog import get_metadata
+    from dvis_plus_tpu.engine.parallel_eval import run_device_parallel
 
     md = get_metadata(dataset_name)
     out_dir = os.path.join(cfg.output_dir, "inference", dataset_name)
     task = cfg.test.task
+
+    def make_loader(i, n):
+        if n == 1 and loader is not None:
+            return loader
+        from dvis_plus_tpu.data.build import build_test_loader
+
+        return build_test_loader(
+            cfg, dataset_name, dataset_type=dataset_type, shard=(i, n)
+        )
+
     if task in ("vos", "mots"):
         from dvis_plus_tpu.engine.daq_inference import run_daq_inference
         from dvis_plus_tpu.evaluation.evaluators import UniYTVISEvaluator
@@ -239,7 +252,11 @@ def run_task_eval(cfg, model, params, loader, dataset_name, dataset_type):
             },
             gt_json=getattr(md, "json_file", None),
         )
-        run_daq_inference(cfg, model, params, loader, evaluator)
+        run_device_parallel(
+            cfg,
+            lambda p, ld, ev: run_daq_inference(cfg, model, p, ld, ev),
+            make_loader, evaluator, params,
+        )
         return evaluator.evaluate() if task != "vos" else {"task": "vos"}
     if task == "vps" or dataset_type == "video_panoptic":
         from dvis_plus_tpu.engine.inference import run_vps_inference
@@ -248,14 +265,22 @@ def run_task_eval(cfg, model, params, loader, dataset_name, dataset_type):
         evaluator = VPSEvaluator(dataset_name, out_dir)
         cats = getattr(md, "categories", None) or []
         n_thing = sum(1 for c in cats if c.get("isthing")) or 58  # VIPSeg things
-        run_vps_inference(cfg, model, params, loader, evaluator, n_thing)
+        run_device_parallel(
+            cfg,
+            lambda p, ld, ev: run_vps_inference(cfg, model, p, ld, ev, n_thing),
+            make_loader, evaluator, params,
+        )
         return evaluator.evaluate()
     if task == "vss" or dataset_type == "video_semantic":
         from dvis_plus_tpu.engine.inference import run_vss_inference
         from dvis_plus_tpu.evaluation.evaluators import VSSEvaluator
 
         evaluator = VSSEvaluator(dataset_name, out_dir)
-        run_vss_inference(cfg, model, params, loader, evaluator)
+        run_device_parallel(
+            cfg,
+            lambda p, ld, ev: run_vss_inference(cfg, model, p, ld, ev),
+            make_loader, evaluator, params,
+        )
         return evaluator.evaluate()
 
     from dvis_plus_tpu.engine.inference import run_vis_inference
@@ -269,7 +294,11 @@ def run_task_eval(cfg, model, params, loader, dataset_name, dataset_type):
         },
         gt_json=getattr(md, "json_file", None),
     )
-    run_vis_inference(cfg, model, params, loader, evaluator)
+    run_device_parallel(
+        cfg,
+        lambda p, ld, ev: run_vis_inference(cfg, model, p, ld, ev),
+        make_loader, evaluator, params,
+    )
     return evaluator.evaluate()
 
 

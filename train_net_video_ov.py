@@ -265,8 +265,17 @@ def do_eval(cfg, args, encode_fn):
             },
             gt_json=getattr(md, "json_file", None),
         )
-        loader = build_test_loader(cfg, dataset_name)
-        run_ov_inference(cfg, model, params, loader, evaluator, tc, nt, overlap)
+        from dvis_plus_tpu.engine.parallel_eval import run_device_parallel
+
+        run_device_parallel(
+            cfg,
+            lambda p, ld, ev: run_ov_inference(cfg, model, p, ld, ev, tc, nt, overlap),
+            lambda i, n: build_test_loader(
+                cfg, dataset_name, shard=(i, n) if n > 1 else None
+            ),
+            evaluator,
+            params,
+        )
         results[dataset_name] = evaluator.evaluate()
         logger.info("%s: %s", dataset_name, results[dataset_name])
     print(json.dumps(results, indent=2))
