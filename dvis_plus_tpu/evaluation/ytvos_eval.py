@@ -5,13 +5,18 @@ Re-implements the reference's vendored evaluation stack
 ``ytvoseval.py:13``) from the metric definition, on the native RLE codec:
 
 - a prediction/GT is a *track*: per-frame RLE masks (None = absent);
-- track IoU is spatio-temporal: sum of per-frame intersections over sum of
-  per-frame unions (crowd GT: denominator = detection area);
+- track IoU is spatio-temporal: sum of per-frame intersection areas over sum
+  of per-frame union areas (``iou_seq``, ytvoseval.py:203-217 — NOTE: the
+  video protocol computes plain IoU even for crowd GTs, unlike image COCO);
 - COCO-style matching per (video, category): detections sorted by score,
-  greedily matched to the best unmatched GT above each IoU threshold
-  (0.50:0.05:0.95), crowd GTs matchable many times and ignored;
+  GTs sorted ignore-last, greedy best-match per detection at each IoU
+  threshold (0.50:0.05:0.95); crowd GTs are ignore-class — matchable many
+  times, matching detections become ignored (evaluateVid :282-332);
 - AP = mean precision over 101 recall points, averaged over thresholds and
   categories present in the GT; AR = max recall at maxDets.
+
+Verified identical to the reference YTVOSeval run as an oracle on randomized
+synthetic videos (tests/test_ap_reference_parity.py).
 """
 from __future__ import annotations
 
@@ -29,23 +34,20 @@ RECALL_THRS = np.linspace(0.0, 1.0, 101)
 def track_iou(
     dt_segs: Sequence[Optional[dict]],
     gt_segs: Sequence[Optional[dict]],
-    iscrowd: bool = False,
 ) -> float:
-    inter = 0.0
-    union = 0.0
-    dt_area = 0.0
+    """Plain spatio-temporal tube IoU (``iou_seq``, integer per-frame
+    intersection/union areas via RLE merge, so results are bit-exact vs the
+    reference). The video protocol never applies image-COCO crowd IoU."""
+    inter = 0
+    union = 0
     for d, g in zip(dt_segs, gt_segs):
-        da = rle_codec.area(d) if d else 0
-        ga = rle_codec.area(g) if g else 0
-        dt_area += da
         if d and g:
-            i = rle_codec.iou([d], [g], [1])[0, 0] * da  # crowd iou = inter/da
-            inter += i
-            union += da + ga - i
-        else:
-            union += da + ga
-    if iscrowd:
-        return inter / dt_area if dt_area > 0 else 0.0
+            inter += rle_codec.area(rle_codec.merge([d, g], True))
+            union += rle_codec.area(rle_codec.merge([d, g], False))
+        elif g:
+            union += rle_codec.area(g)
+        elif d:
+            union += rle_codec.area(d)
     return inter / union if union > 0 else 0.0
 
 
@@ -53,34 +55,48 @@ def _match_one(args):
     """Per-(video, category) IoU matrix + greedy threshold matching — the
     multiprocessing work item (the reference vendors C pycocotools for this;
     our per-pair tube IoU is the C++ RLE codec, the pair loop parallelizes
-    over videos like the reference VPQ scorer, eval_vpq_vspw.py:219-295)."""
+    over videos like the reference VPQ scorer, eval_vpq_vspw.py:219-295).
+
+    Mirrors ``evaluateVid`` (ytvoseval.py:282-332) exactly: GTs sorted
+    ignore-last (stable), per detection the best ``iou >= thr`` GT wins with
+    later-equal replacing, matched regular GTs become unavailable, ignored
+    (crowd) GTs stay matchable and flag the detection ignored, and the scan
+    stops at the ignored tail once a regular match exists.
+
+    Returns (matched, ignored) both (T, n_dt) bool, assuming ``dt`` is
+    already score-sorted."""
     dt, gt, crowd = args
     T = len(IOU_THRS)
+    # sort gt ignore-last, stable (reference gtind mergesort)
+    order = sorted(range(len(gt)), key=lambda j: int(crowd[j]))
+    gt = [gt[j] for j in order]
+    gt_ig = [bool(crowd[j]) for j in order]
     ious = np.zeros((len(dt), len(gt)))
     for i, d in enumerate(dt):
         for j, g in enumerate(gt):
-            ious[i, j] = track_iou(d["segmentations"], g["segmentations"], crowd[j])
+            ious[i, j] = track_iou(d["segmentations"], g["segmentations"])
     matched = np.zeros((T, len(dt)), bool)
     ignored = np.zeros((T, len(dt)), bool)
     for ti, thr in enumerate(IOU_THRS):
         gt_used = [False] * len(gt)
         for i in range(len(dt)):
-            best, best_j = thr, -1
+            best = min(thr, 1 - 1e-10)
+            m = -1
             for j in range(len(gt)):
-                if gt_used[j] and not crowd[j]:
+                if gt_used[j] and not gt_ig[j]:
                     continue
-                if ious[i, j] >= best or (
-                    crowd[j] and ious[i, j] >= thr and best_j >= 0 and not crowd[best_j]
-                ):
-                    if best_j >= 0 and not crowd[best_j] and crowd[j]:
-                        continue
-                    best, best_j = ious[i, j], j
-            if best_j >= 0:
-                if crowd[best_j]:
-                    ignored[ti, i] = True
-                else:
-                    gt_used[best_j] = True
-                    matched[ti, i] = True
+                if m > -1 and not gt_ig[m] and gt_ig[j]:
+                    break  # regular match made; ignored tail can't improve it
+                if ious[i, j] < best:
+                    continue
+                best, m = ious[i, j], j
+            if m == -1:
+                continue
+            gt_used[m] = True
+            if gt_ig[m]:
+                ignored[ti, i] = True
+            else:
+                matched[ti, i] = True
     return matched, ignored
 
 

@@ -461,6 +461,66 @@ def load_daq_criterion_oracles():
     }
 
 
+def load_ytvos_eval_oracle():
+    """Import the reference YTVIS scoring stack (dvis_Plus/data_video/
+    datasets/ytvis_api/{ytvos,ytvoseval}.py — the vendored youtubevos cocoapi)
+    as an AP oracle, with ``pycocotools.mask`` backed by OUR native RLE codec
+    (utils/rle.py, itself oracle-tested vs numpy). Any AP disagreement then
+    isolates to the scoring logic, not the codec."""
+    if "pycocotools" not in sys.modules or not getattr(
+        sys.modules["pycocotools"], "__dvis_tpu_shim__", False
+    ):
+        import numpy as np
+
+        from dvis_plus_tpu.utils import rle as _rle
+
+        pc = _mk_module("pycocotools")
+        pc.__dvis_tpu_shim__ = True
+        mask_mod = _mk_module("pycocotools.mask")
+
+        def _norm(r):
+            # our codec takes str/bytes LEB128 counts; json rows carry str
+            c = r["counts"]
+            return {"size": list(r["size"]),
+                    "counts": c if isinstance(c, (str, bytes)) else c}
+
+        mask_mod.area = lambda r: _rle.area(_norm(r))
+        mask_mod.decode = lambda r: _rle.decode(_norm(r))
+        mask_mod.merge = lambda rs, intersect=False: _rle.merge(
+            [_norm(r) for r in rs], bool(intersect)
+        )
+        mask_mod.frPyObjects = _rle.frPyObjects
+        mask_mod.iou = lambda d, g, crowd: _rle.iou(
+            [_norm(r) for r in d], [_norm(r) for r in g], list(crowd)
+        )
+
+        def _to_bbox(r):
+            m = _rle.decode(_norm(r))
+            ys, xs = np.nonzero(m)
+            if xs.size == 0:
+                return np.zeros(4, np.float64)
+            x0, y0 = xs.min(), ys.min()
+            return np.asarray(
+                [x0, y0, xs.max() - x0 + 1, ys.max() - y0 + 1], np.float64
+            )
+
+        mask_mod.toBbox = _to_bbox
+        pc.mask = mask_mod
+        sys.modules["pycocotools.mask"] = mask_mod
+
+    import numpy as _np
+
+    if not hasattr(_np, "float"):  # the vendored cocoapi uses the removed alias
+        _np.float = float
+
+    repo = "DVIS_Plus"
+    base = "dvis_Plus.data_video.datasets.ytvis_api"
+    ytvos_mod = load_ref_module(repo, f"{base}.ytvos")
+    sys.modules[base].ytvos = ytvos_mod
+    ytvoseval_mod = load_ref_module(repo, f"{base}.ytvoseval")
+    return {"YTVOS": ytvos_mod.YTVOS, "YTVOSeval": ytvoseval_mod.YTVOSeval}
+
+
 def build_torch_d2_resnet50():
     """Torch oracle replicating detectron2's caffe-style ResNet-50 backbone
     (stride-in-1x1 bottlenecks, BN frozen via .eval(), 7x7 stem + maxpool)
