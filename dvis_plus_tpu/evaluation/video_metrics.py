@@ -20,7 +20,7 @@ Inputs are (T, H, W) integer maps; 255 (or ``ignore``) is void.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -33,18 +33,27 @@ def _tube_segments(cls_map: np.ndarray, id_map: np.ndarray, ignore: int):
 
 
 def vpq_single_window(
-    pred_cls, pred_id, gt_cls, gt_id, num_classes: int, ignore: int = 255
+    pred_cls, pred_id, gt_cls, gt_id, num_classes: int, ignore: int = 255,
+    gt_crowd=frozenset(),
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Returns per-class (iou_sum, tp, fp, fn) for one tube window."""
+    """Per-class (iou_sum, tp, fp, fn) for one tube window. Mirrors the
+    reference ``vpq_compute_single_core`` (eval_vpq_vspw.py:77-218) exactly:
+    union excludes the prediction's overlap with GT void, crowd GT tubes are
+    excluded from matching/FN, and an unmatched prediction is FP-ignored when
+    more than half its area lies on void + a same-category crowd segment.
+
+    ``gt_crowd``: set of (class, id) GT tube keys flagged iscrowd."""
     pk = _tube_segments(pred_cls, pred_id, ignore).reshape(-1)
     gk = _tube_segments(gt_cls, gt_id, ignore).reshape(-1)
 
-    valid = gk != -1
-    pairs, counts = np.unique(
-        np.stack([gk[valid], pk[valid]]), axis=1, return_counts=True
-    )
-    gt_area = dict(zip(*np.unique(gk[valid], return_counts=True)))
+    pairs, counts = np.unique(np.stack([gk, pk]), axis=1, return_counts=True)
+    inter_map = {
+        (int(g), int(p)): int(c)
+        for (g, p), c in zip(pairs.T.tolist(), counts.tolist())
+    }
+    gt_area = dict(zip(*np.unique(gk[gk != -1], return_counts=True)))
     pred_area = dict(zip(*np.unique(pk[pk != -1], return_counts=True)))
+    crowd_keys = {(int(c) << 32) + int(i) for c, i in gt_crowd}
 
     iou_sum = np.zeros(num_classes)
     tp = np.zeros(num_classes)
@@ -53,47 +62,58 @@ def vpq_single_window(
 
     gt_matched = set()
     pred_matched = set()
-    for (g, p), inter in sorted(
-        zip(pairs.T.tolist(), counts.tolist()), key=lambda x: -x[1]
-    ):
+    for (g, p), inter in inter_map.items():
         if p == -1 or g == -1:
             continue
-        g_cls = g >> 32
-        p_cls = p >> 32
-        if g_cls != p_cls or g in gt_matched or p in pred_matched:
+        if g in crowd_keys:
             continue
-        union = gt_area[g] + pred_area.get(p, 0) - inter
+        g_cls = g >> 32
+        if g_cls != (p >> 32):
+            continue
+        # union excludes the pred's void overlap (eval_vpq_vspw.py:176-177)
+        union = (
+            gt_area[g] + pred_area[p] - inter - inter_map.get((-1, p), 0)
+        )
         iou = inter / union if union > 0 else 0.0
         if iou > 0.5:
             gt_matched.add(g)
             pred_matched.add(p)
             iou_sum[g_cls] += iou
             tp[g_cls] += 1
-    for g, a in gt_area.items():
-        if g != -1 and g not in gt_matched:
-            fn[g >> 32] += 1
-    # FP: predicted tubes not matched and mostly on non-void
-    void = gk == -1
+    crowd_by_cat = {}
+    for g in gt_area:
+        if g in gt_matched:
+            continue
+        if g in crowd_keys:
+            crowd_by_cat[g >> 32] = g  # last one wins, like the reference dict
+            continue
+        fn[g >> 32] += 1
     for p, a in pred_area.items():
         if p in pred_matched:
             continue
-        void_overlap = np.sum(void & (pk == p))
-        if void_overlap / a <= 0.5:
-            fp[p >> 32] += 1
+        p_cls = p >> 32
+        inter = inter_map.get((-1, p), 0)
+        if p_cls in crowd_by_cat:
+            inter += inter_map.get((crowd_by_cat[p_cls], p), 0)
+        if inter / a > 0.5:  # mostly void/crowd: ignored
+            continue
+        fp[p_cls] += 1
     return iou_sum, tp, fp, fn
 
 
 def _vpq_video(args):
-    (pc, pi), (gc, gi), wlen, num_classes, ignore = args
+    (pc, pi), (gc, gi), wlen, num_classes, ignore, crowd = args
     iou_sum = np.zeros(num_classes)
     tp = np.zeros(num_classes)
     fp = np.zeros(num_classes)
     fn = np.zeros(num_classes)
     T = pc.shape[0]
-    for s in range(0, max(T - wlen + 1, 1)):
-        e = min(s + wlen, T)
+    # videos shorter than the window contribute nothing at this k (reference
+    # range(0, len - nframes + 1), eval_vpq_vspw.py:83)
+    for s in range(0, T - wlen + 1):
+        e = s + wlen
         i, t, f, n = vpq_single_window(
-            pc[s:e], pi[s:e], gc[s:e], gi[s:e], num_classes, ignore
+            pc[s:e], pi[s:e], gc[s:e], gi[s:e], num_classes, ignore, crowd
         )
         iou_sum += i
         tp += t
@@ -106,16 +126,25 @@ def vpq_eval(
     preds: List[Tuple[np.ndarray, np.ndarray]],  # per video (cls, id) (T,H,W)
     gts: List[Tuple[np.ndarray, np.ndarray]],
     num_classes: int,
-    windows: Sequence[int] = (1, 6, 11, 16),  # k=0,5,10,15 -> window len k+1
+    windows: Sequence[int] = (1, 2, 4, 6),  # VIPSeg protocol window lengths
     ignore: int = 255,
     num_workers: int = 0,
+    gt_crowds: Optional[List[set]] = None,  # per video: {(class, id)} crowd tubes
 ) -> Dict[str, float]:
-    """``num_workers > 0`` fans videos out over a process pool (the reference
-    scores VPQ with multiprocessing over videos, eval_vpq_vspw.py:219-295)."""
+    """VPQ over sliding tube windows, verified identical to the reference
+    ``eval_vpq_vspw.py`` run as an oracle (tests/test_vpq_reference_parity.py).
+    VPQ = mean over the window lengths of the per-class PQ average (classes
+    with tp+fp+fn == 0 excluded). ``num_workers > 0`` fans videos out over a
+    process pool (the reference scores VPQ with multiprocessing over videos,
+    eval_vpq_vspw.py:219-295)."""
     results = {}
     all_vpq = []
+    crowds = gt_crowds or [frozenset()] * len(preds)
     for wlen in windows:
-        jobs = [(p, g, wlen, num_classes, ignore) for p, g in zip(preds, gts)]
+        jobs = [
+            (p, g, wlen, num_classes, ignore, c)
+            for p, g, c in zip(preds, gts, crowds)
+        ]
         if num_workers > 0 and len(jobs) > 1:
             import multiprocessing as mp
 
@@ -137,39 +166,64 @@ def vpq_eval(
     return results
 
 
+def _miou_confusion(
+    preds: List[np.ndarray], gts: List[np.ndarray], num_classes: int, ignore: int
+) -> np.ndarray:
+    conf = np.zeros((num_classes, num_classes), np.int64)
+    for p, g in zip(preds, gts):
+        mask = (g != ignore) & (g >= 0) & (g < num_classes)
+        label = num_classes * g[mask].astype(np.int64) + p[mask]
+        conf += np.bincount(label, minlength=num_classes**2).reshape(
+            num_classes, num_classes
+        )
+    return conf
+
+
 def miou_eval(
     preds: List[np.ndarray], gts: List[np.ndarray], num_classes: int, ignore: int = 255
 ) -> float:
-    inter = np.zeros(num_classes)
-    union = np.zeros(num_classes)
-    for p, g in zip(preds, gts):
-        valid = g != ignore
-        for c in range(num_classes):
-            pi = (p == c) & valid
-            gi = g == c
-            inter[c] += np.logical_and(pi, gi).sum()
-            union[c] += np.logical_or(pi, gi).sum()
-    present = union > 0
-    return float((inter[present] / union[present]).mean() * 100) if present.any() else 0.0
+    """VSPW mIoU (eval_miou_vspw.py::Evaluator): confusion matrix over
+    GT-valid pixels; per-class IoU = diag / (row + col - diag); mean over the
+    classes PRESENT IN THE GT only (``isval`` gating — a class predicted but
+    absent from the GT contributes its false positives to the present
+    classes' unions but not an extra 0 term to the mean). Verified identical
+    to the reference script run as an oracle
+    (tests/test_vspw_metrics_reference_parity.py)."""
+    conf = _miou_confusion(preds, gts, num_classes, ignore).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.diag(conf) / (conf.sum(axis=1) + conf.sum(axis=0) - np.diag(conf))
+    isval = conf.sum(axis=1) > 0
+    if not isval.any():
+        return 0.0
+    return float(np.nansum(iou * isval) / isval.sum() * 100)
 
 
 def vc_eval(
     preds: List[np.ndarray], gts: List[np.ndarray], n: int = 8, ignore: int = 255
 ) -> float:
-    """Video consistency VC_n (eval_vc_vspw.py:8): over every n-frame window,
-    |pixels where gt constant AND pred constant| / |pixels where gt constant|."""
-    num = 0.0
-    den = 0.0
+    """Video consistency VC_n (eval_vc_vspw.py::get_common): per n-frame
+    window, |pixels where gt AND pred are both temporally constant| /
+    |pixels where gt is constant| — CONSISTENCY only; the reference does not
+    require the prediction to be correct, and does not exclude void. Windows
+    start at 0..T-n-1 (the reference drops the final window) and videos with
+    T <= n are skipped; the score is the nan-mean of per-window accuracies.
+    Verified identical to the reference script run as an oracle
+    (tests/test_vspw_metrics_reference_parity.py)."""
+    accs = []
     for p, g in zip(preds, gts):
         T = p.shape[0]
-        for s in range(0, T - n + 1):
+        if T <= n:
+            continue
+        for s in range(0, T - n):
             gw = g[s : s + n]
             pw = p[s : s + n]
-            gt_common = np.all(gw == gw[0:1], axis=0) & (gw[0] != ignore)
-            pred_common = np.all(pw == pw[0:1], axis=0) & gt_common & (pw[0] == gw[0])
-            num += pred_common.sum()
-            den += gt_common.sum()
-    return float(num / den * 100) if den > 0 else 0.0
+            gt_common = np.all(gw == gw[0:1], axis=0)
+            pred_common = np.all(pw == pw[0:1], axis=0) & gt_common
+            den = gt_common.sum()
+            accs.append(pred_common.sum() / den if den > 0 else np.nan)
+    if not accs:
+        return 0.0
+    return float(np.nanmean(accs) * 100)
 
 
 def stq_eval(
@@ -178,28 +232,68 @@ def stq_eval(
     num_classes: int,
     num_things: int,
     ignore: int = 255,
+    things: Optional[Sequence[int]] = None,
 ) -> Dict[str, float]:
-    """Segmentation and Tracking Quality (segmentation_and_tracking_quality.py:40).
+    """Segmentation and Tracking Quality (reference
+    utils/segmentation_and_tracking_quality.py::STQuality, the deepmind numpy
+    implementation driven by eval_stq_vspw.py). Verified identical to that
+    module run as an oracle (tests/test_vspw_metrics_reference_parity.py).
 
-    SQ = semantic mIoU over all frames; AQ = mean over GT tracks of
-    sum_{pred tracks p} (|p cap g| / |g|) * IoU(p, g) computed on thing pixels
-    with track identity over the whole video. STQ = sqrt(AQ * SQ)."""
-    # SQ
-    sq = miou_eval([c for c, _ in preds], [c for c, _ in gts], num_classes, ignore) / 100
+    - SQ (called IoU in the reference): semantic IoU over all frames with
+      GT-void rows removed; mean over classes with a nonzero union (present
+      in GT or prediction — a different gating than VSPW mIoU!).
+    - AQ: over whole-video GT thing tubes g (key = (class, id); GT pixels
+      with instance id 0 on a thing class are crowd and excluded), sum over
+      prediction tubes p (restricted to thing-class predicted pixels outside
+      GT crowd) of (|p∩g| / |g|) · IoU(p, g); AQ = sum of terms / number of
+      GT tubes, pooled over videos.
+    - STQ = sqrt(AQ · SQ). Thing classes default to ids [0, num_things);
+      pass ``things`` for datasets whose thing ids are scattered (the
+      reference driver builds ``thing_list_`` from the categories json,
+      eval_stq_vspw.py:65-73)."""
+    # SQ: (C+1)^2 confusion, extra index = void; remove GT-void rows, keep
+    # pred-void column as false negatives (reference result() :244-252)
+    C = num_classes
+    conf = np.zeros((C + 1, C + 1), np.int64)
+    for (pc, _), (gc, _) in zip(preds, gts):
+        g = np.where(gc == ignore, C, gc).reshape(-1).astype(np.int64)
+        p = np.where(pc == ignore, C, pc).reshape(-1).astype(np.int64)
+        conf += np.bincount((C + 1) * g + p, minlength=(C + 1) ** 2).reshape(
+            C + 1, C + 1
+        )
+    conf[C, :] = 0  # removal_matrix: drop GT-void rows
+    inter = np.diag(conf).astype(np.float64)
+    fps = conf.sum(axis=0) - inter
+    fns = conf.sum(axis=1) - inter
+    unions = inter + fps + fns
+    n_present = np.count_nonzero(unions)
+    sq = float(
+        np.sum(inter / np.maximum(unions, 1e-15)) / n_present
+    ) if n_present else 0.0
 
-    # AQ over thing tracks
-    aq_terms = []
+    # AQ over whole-video thing tubes
+    thing_ids = np.asarray(
+        sorted(things) if things is not None else range(num_things), np.int64
+    )
+    aq_sum = 0.0
+    n_tubes = 0
     for (pc, pi), (gc, gi) in zip(preds, gts):
-        is_thing_gt = (gc < num_things) & (gc != ignore)
-        gkey = np.where(is_thing_gt, gc.astype(np.int64) * (1 << 32) + gi, -1).reshape(-1)
+        gt_thing = np.isin(gc, thing_ids)
+        gt_crowd = gt_thing & (gi == 0)
+        gt_mask = (gt_thing & ~gt_crowd).reshape(-1)
+        pred_thing = np.isin(pc, thing_ids)
+        pred_mask = (pred_thing & ~gt_crowd).reshape(-1)
+
+        gkey = (gc.astype(np.int64) * (1 << 32) + gi).reshape(-1)
         pkey = (pc.astype(np.int64) * (1 << 32) + pi).reshape(-1)
-        gt_ids, gt_areas = np.unique(gkey[gkey != -1], return_counts=True)
+        gt_ids, gt_areas = np.unique(gkey[gt_mask], return_counts=True)
         if len(gt_ids) == 0:
             continue
-        pred_ids, pred_areas = np.unique(pkey, return_counts=True)
+        pred_ids, pred_areas = np.unique(pkey[pred_mask], return_counts=True)
         pred_area_map = dict(zip(pred_ids.tolist(), pred_areas.tolist()))
+        both = gt_mask & pred_mask
         pairs, counts = np.unique(
-            np.stack([gkey, pkey])[:, gkey != -1], axis=1, return_counts=True
+            np.stack([gkey[both], pkey[both]]), axis=1, return_counts=True
         )
         inter_by_gt = defaultdict(list)
         for (g, p), c in zip(pairs.T.tolist(), counts.tolist()):
@@ -208,12 +302,13 @@ def stq_eval(
         for g in gt_ids.tolist():
             ga = gt_area_map[g]
             total = 0.0
-            for p, inter in inter_by_gt.get(g, []):
-                union = ga + pred_area_map[p] - inter
-                tpa = inter / union if union > 0 else 0.0
-                total += (inter / ga) * tpa
-            aq_terms.append(total)
-    aq = float(np.mean(aq_terms)) if aq_terms else 0.0
+            for p, tpa in inter_by_gt.get(g, []):
+                fpa = pred_area_map[p] - tpa
+                fna = ga - tpa
+                total += tpa * (tpa / (tpa + fpa + fna))
+            aq_sum += total / ga
+            n_tubes += 1
+    aq = aq_sum / n_tubes if n_tubes else 0.0
     return {
         "SQ": sq * 100,
         "AQ": aq * 100,
