@@ -39,12 +39,13 @@ def mapper_for_type(cfg: Config, dataset_type: str, is_train: bool,
     if dataset_type == "video_panoptic":
         from dvis_plus_tpu.data.datasets.vps_vss import PanopticVideoMapper
 
-        thing_ids = []
+        cats = []
         if dataset_name:
             md = get_metadata(dataset_name)
             cats = getattr(md, "categories", None) or []
-            thing_ids = [c["id"] for c in cats if c.get("isthing")]
-        return PanopticVideoMapper(cfg, is_train=is_train, thing_ids=thing_ids)
+        # things-first contiguous training classes (reference
+        # dataset_mapper_vps.py:111-119)
+        return PanopticVideoMapper(cfg, is_train=is_train, categories=cats)
     if dataset_type == "video_semantic":
         from dvis_plus_tpu.data.datasets.vps_vss import SemanticVideoMapper
 

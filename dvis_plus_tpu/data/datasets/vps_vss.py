@@ -116,18 +116,40 @@ def register_all_vspw(root: str = "datasets") -> None:
         )
 
 
+def panoptic_contiguous_maps(categories):
+    """Things-first contiguous training-class mapping from a VIPSeg-style
+    categories list (reference ``thing/stuff_ids_to_continue_dic``,
+    dataset_mapper_vps.py:111-119: sorted thing ids -> [0, #things), sorted
+    stuff ids -> #things + idx). Returns
+    ``(dataset_to_contiguous, contiguous_to_dataset, num_things)``."""
+    thing_ids = sorted(c["id"] for c in categories if c.get("isthing"))
+    stuff_ids = sorted(c["id"] for c in categories if not c.get("isthing"))
+    d2c = {id_: i for i, id_ in enumerate(thing_ids)}
+    d2c.update({id_: len(thing_ids) + i for i, id_ in enumerate(stuff_ids)})
+    return d2c, {v: k for k, v in d2c.items()}, len(thing_ids)
+
+
 class PanopticVideoMapper:
     """VIPSeg record -> static clip arrays. Thing segments become per-id
     instance slots; stuff categories become one slot each (reference
-    dataset_mapper_vps.py target construction)."""
+    dataset_mapper_vps.py target construction). With ``categories`` given,
+    training classes are the things-first contiguous ids (reference
+    dataset_mapper_vps.py:313-320); without it, dataset ids pass through
+    and ``thing_ids`` only decides instance-vs-class slotting."""
 
-    def __init__(self, cfg: Config, is_train: bool = True, thing_ids=None, ignore_label: int = 255):
+    def __init__(self, cfg: Config, is_train: bool = True, thing_ids=None,
+                 ignore_label: int = 255, categories=None):
         from dvis_plus_tpu.data.mapper import YTVISDatasetMapper
 
         self._base = YTVISDatasetMapper(cfg, is_train=is_train)
         self.cfg = cfg
         self.is_train = is_train
-        self.thing_ids = set(thing_ids or [])
+        if categories:
+            self.dataset_to_contiguous, _, n_things = panoptic_contiguous_maps(categories)
+            self.thing_ids = {c["id"] for c in categories if c.get("isthing")}
+        else:
+            self.dataset_to_contiguous = None
+            self.thing_ids = set(thing_ids or [])
         self.ignore_label = ignore_label
 
     def __call__(self, record: dict, seed: Optional[int] = None) -> Dict[str, np.ndarray]:
@@ -149,6 +171,8 @@ class PanopticVideoMapper:
                         continue
                     cat = seg["category_id"]
                     isthing = seg.get("isthing", cat in self.thing_ids)
+                    if self.dataset_to_contiguous is not None:
+                        cat = self.dataset_to_contiguous[cat]
                     # stuff of the same category merges to one slot id
                     slot_id = seg["id"] if isthing else -1000 - cat
                     frame_anns.append(
@@ -184,6 +208,15 @@ class SemanticVideoMapper:
         self.num_classes = num_classes
         self.ignore_label = ignore_label
 
+    @staticmethod
+    def vspw_preprocess(m: np.ndarray) -> np.ndarray:
+        """Raw VSPW masks are 1-based with 0 = void and 255 = ignore; shift to
+        0-based classes with 255 void (reference ``_vspw_preprocess``,
+        dataset_mapper_vss.py:188-195)."""
+        m = m.astype(np.int32)
+        m = np.where(m == 0, 255, m) - 1
+        return np.where(m == 254, 255, m)
+
     def __call__(self, record: dict, seed: Optional[int] = None) -> Dict[str, np.ndarray]:
         import cv2
 
@@ -193,6 +226,7 @@ class SemanticVideoMapper:
             m = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
             frame_anns = []
             if m is not None:
+                m = self.vspw_preprocess(m)
                 for c in np.unique(m):
                     if c == self.ignore_label or c >= self.num_classes:
                         continue

@@ -107,10 +107,17 @@ def _id_color(seg_id: int) -> np.ndarray:
 
 
 class VPSEvaluator:
-    """Writes per-frame panoptic PNGs + pred.json (vps_eval.py:97-152)."""
+    """Writes per-frame panoptic PNGs + pred.json (vps_eval.py:97-152).
+    ``contiguous_to_dataset_id`` unmaps the model's things-first contiguous
+    classes back to dataset category ids (vps_eval.py:113-119); per-frame
+    rows carry ``area``/``iscrowd`` so the output is scoreable by the
+    reference ``eval_vpq_vspw.py`` / ``eval_stq_vspw.py`` scripts as well as
+    ``tools/eval_video_metrics.py``."""
 
-    def __init__(self, dataset_name: str, output_dir: str):
+    def __init__(self, dataset_name: str, output_dir: str,
+                 contiguous_to_dataset_id: Optional[Dict[int, int]] = None):
         self.output_dir = output_dir
+        self.contiguous_to_dataset_id = contiguous_to_dataset_id or {}
         os.makedirs(os.path.join(output_dir, "pan_pred"), exist_ok=True)
         self._annotations: List[dict] = []
 
@@ -134,20 +141,22 @@ class VPSEvaluator:
             vdir = os.path.join(self.output_dir, "pan_pred", str(video_id))
             os.makedirs(vdir, exist_ok=True)
             cv2.imwrite(os.path.join(vdir, name), img[:, :, ::-1])
-            annos.append(
-                {
-                    "file_name": name,
-                    "segments_info": [
-                        {
-                            "id": info["id"],
-                            "category_id": info["category_id"],
-                            "isthing": info["isthing"],
-                        }
-                        for info in segments_infos
-                        if (seg == info["id"]).any()
-                    ],
-                }
-            )
+            segs = []
+            for info in segments_infos:
+                area = int((seg == info["id"]).sum())
+                if area == 0:
+                    continue
+                cat = int(info["category_id"])
+                segs.append(
+                    {
+                        "id": info["id"],
+                        "category_id": self.contiguous_to_dataset_id.get(cat, cat),
+                        "isthing": info["isthing"],
+                        "area": area,
+                        "iscrowd": 0,
+                    }
+                )
+            annos.append({"file_name": name, "segments_info": segs})
         self._annotations.append({"video_id": str(video_id), "annotations": annos})
 
     def evaluate(self) -> Dict[str, float]:

@@ -83,6 +83,7 @@ def test_vipseg_mapper(vipseg_data):
     records = load_vipseg_json(jf, img_root, mask_root)
     assert len(records) == 1 and records[0]["length"] == T
     cfg = make_cfg()
+    # legacy path (no categories): dataset ids pass through
     mapper = PanopticVideoMapper(cfg, is_train=True, thing_ids=[1])
     out = mapper(records[0], seed=3)
     assert out["images"].shape[0] == 2
@@ -90,6 +91,26 @@ def test_vipseg_mapper(vipseg_data):
     assert out["valid"].sum() == 2
     assert set(out["labels"][np.asarray(out["valid"])].tolist()) == {1, 10}
     assert out["masks"].any()
+
+
+def test_vipseg_mapper_contiguous_classes(vipseg_data):
+    """With categories metadata, training classes are things-first contiguous
+    (reference dataset_mapper_vps.py:111-119/313-320): thing cat 1 -> 0,
+    stuff cat 10 -> 1."""
+    jf, img_root, mask_root = vipseg_data
+    records = load_vipseg_json(jf, img_root, mask_root)
+    cats = [
+        {"id": 1, "name": "person", "isthing": 1},
+        {"id": 10, "name": "sky", "isthing": 0},
+    ]
+    mapper = PanopticVideoMapper(make_cfg(), is_train=True, categories=cats)
+    out = mapper(records[0], seed=3)
+    assert set(out["labels"][np.asarray(out["valid"])].tolist()) == {0, 1}
+
+    from dvis_plus_tpu.data.datasets.vps_vss import panoptic_contiguous_maps
+
+    d2c, c2d, n_things = panoptic_contiguous_maps(cats)
+    assert d2c == {1: 0, 10: 1} and c2d == {0: 1, 1: 10} and n_things == 1
 
 
 @pytest.fixture(scope="module")
@@ -104,10 +125,12 @@ def vspw_data(tmp_path_factory):
     for t in range(T):
         cv2.imwrite(str(root / "data" / vid / "origin" / f"{t:04d}.jpg"),
                     rng.randint(0, 255, (H, W, 3), np.uint8))
+        # raw VSPW convention: 1-based classes, 0 = void, 255 = ignore
         m = np.zeros((H, W), np.uint8)
         m[:20] = 3
         m[20:] = 7
         m[0, 0] = 255  # ignore pixel
+        m[0, 1] = 0  # void pixel
         cv2.imwrite(str(root / "data" / vid / "mask" / f"{t:04d}.png"), m)
     with open(root / "train.txt", "w") as f:
         f.write(vid + "\n")
@@ -120,5 +143,7 @@ def test_vspw_mapper(vspw_data):
     cfg = make_cfg()
     mapper = SemanticVideoMapper(cfg, is_train=True)
     out = mapper(records[0], seed=5)
-    assert out["valid"].sum() == 2  # classes 3 and 7
-    assert set(out["labels"][np.asarray(out["valid"])].tolist()) == {3, 7}
+    # raw 3/7 shift to 0-based classes 2/6 (reference _vspw_preprocess,
+    # dataset_mapper_vss.py:188-195); 0 and 255 both map to void
+    assert out["valid"].sum() == 2
+    assert set(out["labels"][np.asarray(out["valid"])].tolist()) == {2, 6}

@@ -262,9 +262,16 @@ def run_task_eval(cfg, model, params, loader, dataset_name, dataset_type):
         from dvis_plus_tpu.engine.inference import run_vps_inference
         from dvis_plus_tpu.evaluation.evaluators import VPSEvaluator
 
-        evaluator = VPSEvaluator(dataset_name, out_dir)
+        from dvis_plus_tpu.data.datasets.vps_vss import panoptic_contiguous_maps
+
         cats = getattr(md, "categories", None) or []
-        n_thing = sum(1 for c in cats if c.get("isthing")) or 58  # VIPSeg things
+        if cats:
+            _, contig_to_dataset, n_thing = panoptic_contiguous_maps(cats)
+        else:
+            contig_to_dataset, n_thing = {}, 58  # VIPSeg things
+        evaluator = VPSEvaluator(
+            dataset_name, out_dir, contiguous_to_dataset_id=contig_to_dataset
+        )
         run_device_parallel(
             cfg,
             lambda p, ld, ev: run_vps_inference(cfg, model, p, ld, ev, n_thing),
