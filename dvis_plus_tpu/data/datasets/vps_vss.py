@@ -68,7 +68,11 @@ def register_all_vipseg(root: str = "datasets") -> None:
                 jf, os.path.join(base, "images"), os.path.join(base, "panomasksRGB")
             )
 
-        meta: Dict = {"json_file": json_file, "evaluator_type": "vps"}
+        meta: Dict = {
+            "json_file": json_file,
+            "evaluator_type": "vps",
+            "gt_dir": os.path.join(base, "panomasksRGB"),
+        }
         if os.path.exists(json_file):
             with open(json_file) as f:
                 cats = json.load(f).get("categories", [])
@@ -113,6 +117,8 @@ def register_all_vspw(root: str = "datasets") -> None:
             ),
             evaluator_type="vss",
             num_classes=124,
+            gt_root=base,
+            split=split,
         )
 
 

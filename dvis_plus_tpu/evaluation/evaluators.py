@@ -115,9 +115,12 @@ class VPSEvaluator:
     ``tools/eval_video_metrics.py``."""
 
     def __init__(self, dataset_name: str, output_dir: str,
-                 contiguous_to_dataset_id: Optional[Dict[int, int]] = None):
+                 contiguous_to_dataset_id: Optional[Dict[int, int]] = None,
+                 gt_json: Optional[str] = None, gt_dir: Optional[str] = None):
         self.output_dir = output_dir
         self.contiguous_to_dataset_id = contiguous_to_dataset_id or {}
+        self.gt_json = gt_json
+        self.gt_dir = gt_dir
         os.makedirs(os.path.join(output_dir, "pan_pred"), exist_ok=True)
         self._annotations: List[dict] = []
 
@@ -165,18 +168,36 @@ class VPSEvaluator:
         from dvis_plus_tpu.evaluation.dist import gather_predictions, is_main_process
 
         annotations = gather_predictions(self._annotations)
-        if is_main_process():
-            path = os.path.join(self.output_dir, "pred.json")
-            with open(path, "w") as f:
-                json.dump({"annotations": annotations}, f)
-        return {"videos": len(annotations)}
+        if not is_main_process():
+            return {"videos": len(annotations)}
+        path = os.path.join(self.output_dir, "pred.json")
+        with open(path, "w") as f:
+            json.dump({"annotations": annotations}, f)
+        res: Dict[str, float] = {"videos": len(annotations)}
+        if (
+            self.gt_json and os.path.exists(self.gt_json)
+            and self.gt_dir and os.path.isdir(self.gt_dir)
+        ):
+            # the reference scores offline with standalone scripts; here the
+            # same (oracle-verified) scoring runs in-process when GT exists
+            from dvis_plus_tpu.evaluation.offline_scoring import score_vps
+
+            res.update(score_vps(self.output_dir, self.gt_json, self.gt_dir))
+        return res
 
 
 class VSSEvaluator:
-    """Writes per-frame semantic-class PNGs (vss_eval.py:84-108)."""
+    """Writes per-frame semantic-class PNGs (vss_eval.py:84-108). With
+    ``gt_root`` (a VSPW tree) it also scores mIoU + VC in-process via the
+    oracle-verified offline scorers."""
 
-    def __init__(self, dataset_name: str, output_dir: str):
+    def __init__(self, dataset_name: str, output_dir: str,
+                 gt_root: Optional[str] = None, split: str = "val",
+                 num_classes: int = 124):
         self.output_dir = output_dir
+        self.gt_root = gt_root
+        self.split = split
+        self.num_classes = num_classes
         os.makedirs(output_dir, exist_ok=True)
         self._count = 0
 
@@ -193,7 +214,20 @@ class VSSEvaluator:
         self._count += 1
 
     def evaluate(self) -> Dict[str, float]:
-        return {"videos": self._count}
+        from dvis_plus_tpu.evaluation.dist import is_main_process
+
+        res: Dict[str, float] = {"videos": self._count}
+        if (
+            is_main_process() and self.gt_root
+            and os.path.exists(os.path.join(self.gt_root, f"{self.split}.txt"))
+        ):
+            from dvis_plus_tpu.evaluation.offline_scoring import score_vss
+
+            res.update(score_vss(
+                self.output_dir, self.gt_root,
+                split=self.split, num_classes=self.num_classes,
+            ))
+        return res
 
 
 class UniYTVISEvaluator(YTVISEvaluator):

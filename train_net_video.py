@@ -270,7 +270,9 @@ def run_task_eval(cfg, model, params, loader, dataset_name, dataset_type):
         else:
             contig_to_dataset, n_thing = {}, 58  # VIPSeg things
         evaluator = VPSEvaluator(
-            dataset_name, out_dir, contiguous_to_dataset_id=contig_to_dataset
+            dataset_name, out_dir, contiguous_to_dataset_id=contig_to_dataset,
+            gt_json=getattr(md, "json_file", None),
+            gt_dir=getattr(md, "gt_dir", None),
         )
         run_device_parallel(
             cfg,
@@ -282,7 +284,12 @@ def run_task_eval(cfg, model, params, loader, dataset_name, dataset_type):
         from dvis_plus_tpu.engine.inference import run_vss_inference
         from dvis_plus_tpu.evaluation.evaluators import VSSEvaluator
 
-        evaluator = VSSEvaluator(dataset_name, out_dir)
+        evaluator = VSSEvaluator(
+            dataset_name, out_dir,
+            gt_root=getattr(md, "gt_root", None),
+            split=getattr(md, "split", "val"),
+            num_classes=getattr(md, "num_classes", cfg.model.num_classes),
+        )
         run_device_parallel(
             cfg,
             lambda p, ld, ev: run_vss_inference(cfg, model, p, ld, ev),
