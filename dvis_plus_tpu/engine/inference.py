@@ -108,10 +108,13 @@ def video_logits_masks(cfg: Config, model, params, images, window_fns, W_sz):
 
 
 def run_vps_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator,
-                      num_thing_classes: int):
+                      num_thing_classes: int, logits_masks_fn=None):
     """VPS eval loop (reference inference_video_vps :869-952): per-pixel
     argmax panoptic id map on device, segment bookkeeping on host, PNG + json
-    rows via the VPS evaluator."""
+    rows via the VPS evaluator. ``logits_masks_fn(images) -> (logits, masks)``
+    overrides the close-vocab forward (used by the OV driver, whose fused
+    log-prob logits go through the same softmax top-K — reference OV
+    inference_video_vps, meta_architecture_ov.py:845-918)."""
     from dvis_plus_tpu.models.meta.dvis_online import (
         panoptic_probs,
         panoptic_segments_host,
@@ -122,7 +125,10 @@ def run_vps_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
     for sample in loader:
         images = sample["images"]
         T, H, W = images.shape[:3]
-        logits, masks = video_logits_masks(cfg, model, params, images, window_fns, W_sz)
+        if logits_masks_fn is not None:
+            logits, masks = logits_masks_fn(images)
+        else:
+            logits, masks = video_logits_masks(cfg, model, params, images, window_fns, W_sz)
         masks = masks[:, :T]
         h, w = [int(v) for v in sample["image_size"]]
         out_size = (int(sample["height"]), int(sample["width"]))
@@ -160,9 +166,12 @@ def run_vps_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
         )
 
 
-def run_vss_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator):
+def run_vss_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator,
+                      logits_masks_fn=None):
     """VSS eval loop (reference inference_video_vss :954-979): per-pixel
-    semantic argmax -> per-frame PNGs."""
+    semantic argmax -> per-frame PNGs. ``logits_masks_fn`` as in
+    :func:`run_vps_inference` (reference OV inference_video_vss,
+    meta_architecture_ov.py:920-943)."""
     from dvis_plus_tpu.models.meta.dvis_online import semantic_inference
 
     W_sz = resolve_window_size(cfg)
@@ -170,7 +179,10 @@ def run_vss_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
     for sample in loader:
         images = sample["images"]
         T, H, W = images.shape[:3]
-        logits, masks = video_logits_masks(cfg, model, params, images, window_fns, W_sz)
+        if logits_masks_fn is not None:
+            logits, masks = logits_masks_fn(images)
+        else:
+            logits, masks = video_logits_masks(cfg, model, params, images, window_fns, W_sz)
         masks = masks[:, :T]
         h, w = [int(v) for v in sample["image_size"]]
         sem_l = []

@@ -28,6 +28,45 @@ from dvis_plus_tpu.models.tracker.referring_tracker import init_tracker_state
 logger = logging.getLogger(__name__)
 
 
+def ov_video_logits_masks_fn(
+    cfg: Config,
+    model,
+    params,
+    text_classifier,
+    num_templates: Sequence[int],
+    category_overlapping,
+):
+    """Returns ``f(images) -> (fused_logits, masks)`` — the OV ensemble twin
+    of ``engine.inference.video_logits_masks`` — for use by any task driver
+    (VIS top-K, VPS panoptic, VSS semantic; reference OV routes all three
+    off the same ensembled logits, meta_architecture_ov.py:184-188)."""
+    arch = cfg.model.meta_architecture
+    from dvis_plus_tpu.engine.inference import resolve_window_size
+
+    W_sz = resolve_window_size(cfg)
+    tc = jnp.asarray(text_classifier)
+    nt = tuple(num_templates)
+    overlap = jnp.asarray(category_overlapping)
+    alpha = cfg.model.ov.geometric_ensemble_alpha
+    beta = cfg.model.ov.geometric_ensemble_beta
+    fns: Dict = {}
+
+    def f(images):
+        if arch in ("minvis", "minvis_ov", "ctvis"):
+            return _minvis_ov_video(
+                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
+            )
+        if arch in ("dvis_online", "dvis_online_ov"):
+            return _online_ov_video(
+                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
+            )
+        return _offline_ov_video(
+            cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
+        )
+
+    return f
+
+
 def run_ov_inference(
     cfg: Config,
     model,
@@ -40,32 +79,15 @@ def run_ov_inference(
 ):
     from dvis_plus_tpu.models.meta.minvis import inference_video
 
-    arch = cfg.model.meta_architecture
-    from dvis_plus_tpu.engine.inference import resolve_window_size
-    W_sz = resolve_window_size(cfg)
     topk = cfg.test.max_num
-    tc = jnp.asarray(text_classifier)
-    nt = tuple(num_templates)
-    overlap = jnp.asarray(category_overlapping)
-    alpha = cfg.model.ov.geometric_ensemble_alpha
-    beta = cfg.model.ov.geometric_ensemble_beta
-    fns: Dict = {}
+    logits_masks = ov_video_logits_masks_fn(
+        cfg, model, params, text_classifier, num_templates, category_overlapping
+    )
 
     for sample in loader:
         images = sample["images"]
         T, H, W = images.shape[:3]
-        if arch in ("minvis", "minvis_ov", "ctvis"):
-            logits, masks = _minvis_ov_video(
-                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
-            )
-        elif arch in ("dvis_online", "dvis_online_ov"):
-            logits, masks = _online_ov_video(
-                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
-            )
-        else:
-            logits, masks = _offline_ov_video(
-                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
-            )
+        logits, masks = logits_masks(images)
         masks = masks[:, :T]
         h, w = [int(v) for v in sample["image_size"]]
         res = inference_video(

@@ -90,3 +90,60 @@ def test_text_encoder_fails_loudly_without_weights():
     args.random_text = False
     with pytest.raises(SystemExit):
         make_text_encoder(cfg, args)
+
+
+@pytest.fixture(scope="module")
+def synth_vps_vss_root(tmp_path_factory):
+    """VIPSeg + VSPW synthetic trees; DVIS_DATASETS points at them so
+    do_eval's register_all_datasets() re-registers against this root."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import synth_data
+
+    root = str(tmp_path_factory.mktemp("dvis_synth_ov"))
+    synth_data.make_vipseg(root)
+    synth_data.make_vspw(root)
+    old = os.environ.get("DVIS_DATASETS")
+    os.environ["DVIS_DATASETS"] = root
+    yield root
+    if old is None:
+        os.environ.pop("DVIS_DATASETS", None)
+    else:
+        os.environ["DVIS_DATASETS"] = old
+
+
+@pytest.mark.parametrize(
+    "task,dataset,dtype_name",
+    [
+        ("vps", "panoVSPW_vps_video_val", "video_panoptic"),
+        ("vss", "VSPW_vss_video_val", "video_semantic"),
+    ],
+)
+def test_ov_vps_vss_eval_path(task, dataset, dtype_name, synth_dataset,  # noqa: F811
+                              synth_vps_vss_root, tmp_path):
+    """OV panoptic/semantic eval: ensembled OV logits through the shared
+    VPS/VSS drivers (reference OV supports vis/vps/vss,
+    meta_architecture_ov.py:184-188/845-943); in-process VPQ/STQ or mIoU/VC
+    scoring runs because the synthetic GT is on disk."""
+    from train_net_video_ov import do_eval, make_text_encoder
+
+    cfg = ov_tiny_cfg("dvis_online")
+    cfg.model.num_classes = 3
+    cfg.test.task = task
+    cfg.datasets.test = (dataset,)
+    cfg.datasets.dataset_type_test = (dtype_name,)
+    cfg.output_dir = str(tmp_path)
+    encode_fn = make_text_encoder(cfg, _args())
+    res = do_eval(cfg, _args(), encode_fn)
+    assert res[dataset]["videos"] == 2
+    out_dir = os.path.join(str(tmp_path), "inference", dataset)
+    if task == "vps":
+        assert os.path.exists(os.path.join(out_dir, "pred.json"))
+        assert "VPQ" in res[dataset] and "STQ" in res[dataset]
+    else:
+        assert "mIoU" in res[dataset]
+        pngs = [
+            f for _, _, fs in os.walk(out_dir) for f in fs if f.endswith(".png")
+        ]
+        assert len(pngs) == 2 * 4

@@ -34,6 +34,10 @@ _VOCAB_BY_DATASET = {
     "ovis": "ovis_instance_with_prompt_eng.txt",
     "coco": "coco_panoptic_with_prompt_eng.txt",
     "panoVSPW": "vipseg_panoptic_with_prompt_eng.txt",
+    # VSPW semantic shares VIPSeg's 124-class taxonomy (reference vss_ov.py
+    # builds its categories from the same list); file row i = shifted
+    # dataset id i, which IS our VSS class space (no things-first reorder)
+    "VSPW": "vipseg_panoptic_with_prompt_eng.txt",
     "lvvis": "lsvis_instance_with_prompt_eng.txt",
 }
 
@@ -59,6 +63,32 @@ def build_ov_model(cfg):
     raise ValueError(arch)
 
 
+def _maybe_things_first(dataset_name: str, classes):
+    """For panoptic (vps) datasets the OV class space is things-first, like
+    the training mapper's contiguous ids and the reference's ``classes_ov``
+    (vps_ov.py: ``thing_classes_ov + stuff_classes_ov``) — the panoptic
+    top-K decides thing-vs-stuff by ``class < num_things``. Vocabulary file
+    rows are keyed by dataset id; reorder via the registered categories."""
+    from dvis_plus_tpu.data.catalog import get_metadata
+    from dvis_plus_tpu.data.datasets.vps_vss import panoptic_contiguous_maps
+
+    try:
+        md = get_metadata(dataset_name)
+    except KeyError:
+        return classes
+    cats = getattr(md, "categories", None)
+    if getattr(md, "evaluator_type", "") != "vps" or not cats:
+        return classes
+    _, contig_to_dataset, _ = panoptic_contiguous_maps(cats)
+    if len(cats) == len(classes) and {c["id"] for c in cats} == set(range(len(classes))):
+        return [classes[contig_to_dataset[i]] for i in range(len(classes))]
+    # registered categories disagree with the shipped vocabulary (e.g. a
+    # reduced synthetic GT): the GT json defines the eval class space —
+    # build things-first synonym lists from the category names instead
+    by_id = {c["id"]: c for c in cats}
+    return [[by_id[contig_to_dataset[i]]["name"]] for i in range(len(cats))]
+
+
 def vocabulary_for(dataset_name: str):
     """Prompt-engineered synonym lists for a dataset (reference
     ov_datasets/*_with_prompt_eng.txt); falls back to catalog class names."""
@@ -76,7 +106,7 @@ def vocabulary_for(dataset_name: str):
                 # drop the invalid_class_id row if present
                 if classes and classes[0] and classes[0][0] == "invalid_class_id":
                     classes = classes[1:]
-                return classes
+                return _maybe_things_first(dataset_name, classes)
     from dvis_plus_tpu.data.catalog import get_metadata
 
     md = get_metadata(dataset_name)
@@ -256,20 +286,65 @@ def do_eval(cfg, args, encode_fn):
             if cfg.weights:
                 params = ckpt.load_weights(cfg.weights, params, cfg=cfg)
         md = get_metadata(dataset_name)
-        evaluator = YTVISEvaluator(
-            dataset_name,
-            os.path.join(cfg.output_dir, "inference", dataset_name),
-            contiguous_to_dataset_id={
-                v: k
-                for k, v in getattr(md, "thing_dataset_id_to_contiguous_id", {}).items()
-            },
-            gt_json=getattr(md, "json_file", None),
-        )
+        out_dir = os.path.join(cfg.output_dir, "inference", dataset_name)
+        task = cfg.test.task or getattr(md, "evaluator_type", "vis")
+        from dvis_plus_tpu.engine.ov_inference import ov_video_logits_masks_fn
         from dvis_plus_tpu.engine.parallel_eval import run_device_parallel
+
+        if task == "vps":
+            # OV panoptic: ensembled logits through the shared panoptic
+            # top-K (reference OV inference_video_vps :845-918)
+            from dvis_plus_tpu.data.datasets.vps_vss import panoptic_contiguous_maps
+            from dvis_plus_tpu.engine.inference import run_vps_inference
+            from dvis_plus_tpu.evaluation.evaluators import VPSEvaluator
+
+            cats = getattr(md, "categories", None) or []
+            if cats:
+                _, contig_to_dataset, n_thing = panoptic_contiguous_maps(cats)
+            else:
+                contig_to_dataset, n_thing = {}, 58
+            evaluator = VPSEvaluator(
+                dataset_name, out_dir, contiguous_to_dataset_id=contig_to_dataset,
+                gt_json=getattr(md, "json_file", None),
+                gt_dir=getattr(md, "gt_dir", None),
+            )
+
+            def runner(p, ld, ev):
+                fn = ov_video_logits_masks_fn(cfg, model, p, tc, nt, overlap)
+                run_vps_inference(cfg, model, p, ld, ev, n_thing, logits_masks_fn=fn)
+
+        elif task == "vss":
+            from dvis_plus_tpu.engine.inference import run_vss_inference
+            from dvis_plus_tpu.evaluation.evaluators import VSSEvaluator
+
+            evaluator = VSSEvaluator(
+                dataset_name, out_dir,
+                gt_root=getattr(md, "gt_root", None),
+                split=getattr(md, "split", "val"),
+                num_classes=getattr(md, "num_classes", cfg.model.num_classes),
+            )
+
+            def runner(p, ld, ev):
+                fn = ov_video_logits_masks_fn(cfg, model, p, tc, nt, overlap)
+                run_vss_inference(cfg, model, p, ld, ev, logits_masks_fn=fn)
+
+        else:
+            evaluator = YTVISEvaluator(
+                dataset_name,
+                out_dir,
+                contiguous_to_dataset_id={
+                    v: k
+                    for k, v in getattr(md, "thing_dataset_id_to_contiguous_id", {}).items()
+                },
+                gt_json=getattr(md, "json_file", None),
+            )
+
+            def runner(p, ld, ev):
+                run_ov_inference(cfg, model, p, ld, ev, tc, nt, overlap)
 
         run_device_parallel(
             cfg,
-            lambda p, ld, ev: run_ov_inference(cfg, model, p, ld, ev, tc, nt, overlap),
+            runner,
             lambda i, n: build_test_loader(
                 cfg, dataset_name, shard=(i, n) if n > 1 else None
             ),
