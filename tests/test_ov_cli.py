@@ -147,3 +147,24 @@ def test_ov_vps_vss_eval_path(task, dataset, dtype_name, synth_dataset,  # noqa:
             f for _, _, fs in os.walk(out_dir) for f in fs if f.endswith(".png")
         ]
         assert len(pngs) == 2 * 4
+
+
+def test_ov_vps_train_steps(synth_vps_vss_root, tmp_path):
+    """Supervised OV panoptic training: the PanopticVideoMapper's things-first
+    contiguous classes align with the things-first OV classifier (reference
+    OV supervised VIPSeg recipe, configs/open_vocabulary/.../vipseg)."""
+    from train_net_video import register_all_datasets
+    from train_net_video_ov import do_train, make_text_encoder
+
+    register_all_datasets()
+    cfg = ov_tiny_cfg("dvis_online")
+    cfg.model.num_classes = 3
+    cfg.datasets.train = ("panoVSPW_vps_video_train",)
+    cfg.datasets.dataset_type = ("video_panoptic",)
+    cfg.datasets.test = ("panoVSPW_vps_video_val",)
+    cfg.datasets.dataset_type_test = ("video_panoptic",)
+    cfg.input.sampling_frame_num = 2
+    cfg.output_dir = str(tmp_path)
+    encode_fn = make_text_encoder(cfg, _args())
+    state = do_train(cfg, _args(), encode_fn)
+    assert int(state.step) == 2
