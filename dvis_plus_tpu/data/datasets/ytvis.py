@@ -105,6 +105,9 @@ def register_all_ytvis(root: str = "datasets") -> None:
         "ytvis_2021_train": ("ytvis_2021/train.json", "ytvis_2021/train/JPEGImages", YTVIS_2021_CLASSES),
         "ytvis_2021_val": ("ytvis_2021/valid.json", "ytvis_2021/valid/JPEGImages", YTVIS_2021_CLASSES),
         "ytvis_2021_test": ("ytvis_2021/test.json", "ytvis_2021/test/JPEGImages", YTVIS_2021_CLASSES),
+        # reference names the full 2022 val "ytvis_2022_val" (builtin.py:43);
+        # keep the older *_val_full alias too
+        "ytvis_2022_val": ("ytvis_2022/valid/instances.json", "ytvis_2022/valid/JPEGImages", YTVIS_2021_CLASSES),
         "ytvis_2022_val_full": ("ytvis_2022/valid.json", "ytvis_2022/valid/JPEGImages", YTVIS_2021_CLASSES),
         "ovis_train": ("ovis/annotations_train.json", "ovis/train", OVIS_CLASSES),
         "ovis_val": ("ovis/annotations_valid.json", "ovis/valid", OVIS_CLASSES),
