@@ -99,13 +99,6 @@ class YTVISEvaluator:
         return evaluate_vis(gt_anns, self._predictions, nframes, workers=workers)
 
 
-def _id_color(seg_id: int) -> np.ndarray:
-    """Deterministic id -> RGB (panopticapi id encoding: id = R + 256 G + ...)."""
-    return np.asarray(
-        [seg_id % 256, (seg_id // 256) % 256, (seg_id // 65536) % 256], np.uint8
-    )
-
-
 class VPSEvaluator:
     """Writes per-frame panoptic PNGs + pred.json (vps_eval.py:97-152).
     ``contiguous_to_dataset_id`` unmaps the model's things-first contiguous
@@ -136,17 +129,21 @@ class VPSEvaluator:
         T = panoptic_seg.shape[0]
         annos = []
         for t in range(T):
-            seg = panoptic_seg[t]
-            img = np.zeros((*seg.shape, 3), np.uint8)
-            for info in segments_infos:
-                img[seg == info["id"]] = _id_color(info["id"])
+            seg = panoptic_seg[t].astype(np.int64)
+            # PNG RGB = byte planes of the id map (panopticapi encoding,
+            # id = R + 256 G + 65536 B); void id 0 stays black
+            img = np.stack(
+                [seg % 256, (seg // 256) % 256, seg // 65536], axis=-1
+            ).astype(np.uint8)
             name = os.path.splitext(os.path.basename(frame_names[t]))[0] + ".png"
             vdir = os.path.join(self.output_dir, "pan_pred", str(video_id))
             os.makedirs(vdir, exist_ok=True)
             cv2.imwrite(os.path.join(vdir, name), img[:, :, ::-1])
+            counts = np.bincount(seg.ravel())
             segs = []
             for info in segments_infos:
-                area = int((seg == info["id"]).sum())
+                sid = int(info["id"])
+                area = int(counts[sid]) if sid < len(counts) else 0
                 if area == 0:
                     continue
                 cat = int(info["category_id"])

@@ -252,6 +252,35 @@ def install_shims() -> None:
     m2f_misc.is_dist_avail_and_initialized = lambda: False
     sys.modules["mask2former.utils"].misc = m2f_misc
 
+    # --- extras so dvis_Plus.meta_architecture imports as an oracle ------
+    # (only its pure-torch inference post-processing methods are exercised;
+    # model construction helpers raise if touched)
+    d2_data = _mk_module("detectron2.data")
+
+    class _MetadataCatalog:
+        _store: Dict[str, object] = {}
+
+        @classmethod
+        def get(cls, name):
+            return cls._store.setdefault(name, types.SimpleNamespace())
+
+    d2_data.MetadataCatalog = _MetadataCatalog
+    d2.data = d2_data
+
+    def _unavailable(*args, **kwargs):
+        raise NotImplementedError("model construction is not shimmed")
+
+    d2_modeling.build_backbone = _unavailable
+    d2_modeling.build_sem_seg_head = _unavailable
+    d2_backbone = _mk_module("detectron2.modeling.backbone")
+    d2_backbone.Backbone = torch.nn.Module
+    d2_modeling.backbone = d2_backbone
+
+    d2_structures = _mk_module("detectron2.structures")
+    for _n in ("Boxes", "ImageList", "Instances", "BitMasks"):
+        setattr(d2_structures, _n, type(_n, (), {}))
+    d2.structures = d2_structures
+
 
 def _ensure_pkg(fullname: str, path: str) -> None:
     """Register ``fullname`` as a hollow package rooted at ``path`` without
@@ -397,6 +426,27 @@ def load_criterion_oracles():
         "VideoHungarianMatcher": matcher_mod.VideoHungarianMatcher,
         "VideoHungarianMatcher_Consistent": matcher_mod.VideoHungarianMatcher_Consistent,
     }
+
+
+def load_meta_architecture_oracle():
+    """Import ``dvis_Plus.meta_architecture`` so its pure-torch inference
+    post-processing (inference_video_vps / inference_video_vss / MinVIS
+    post-processing) can run as numeric oracles. Model-construction helpers
+    are stubbed and raise if touched."""
+    load_dvis_plus_oracles()  # shims + hollow packages + tracker/refiner
+    repo = "DVIS_Plus"
+    matcher_mod = load_ref_module(repo, "mask2former_video.modeling.matcher")
+    vid_pkg = sys.modules["mask2former_video.modeling"]
+    vid_pkg.matcher = matcher_mod
+    vid_pkg.VideoHungarianMatcher = matcher_mod.VideoHungarianMatcher
+    vid_pkg.VideoHungarianMatcher_Consistent = matcher_mod.VideoHungarianMatcher_Consistent
+    crit_mod = load_ref_module(repo, "mask2former_video.modeling.criterion")
+    vid_pkg.criterion = crit_mod
+    vid_pkg.VideoSetCriterion = crit_mod.VideoSetCriterion
+    mem_mod = load_ref_module(repo, "mask2former_video.utils.memory")
+    sys.modules["mask2former_video.utils"].memory = mem_mod
+    load_ref_module(repo, "dvis_Plus.utils")
+    return load_ref_module(repo, "dvis_Plus.meta_architecture")
 
 
 def load_ov_oracles():
