@@ -10,7 +10,7 @@ import sys
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+# fast enough for the default CI lane (pure-numpy oracles, ~seconds)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 

@@ -15,7 +15,7 @@ import types
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+# fast enough for the default CI lane (pure-numpy oracles, ~seconds)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
