@@ -236,6 +236,7 @@ def main():
                    cfg.model.ov.geometric_ensemble_alpha,
                    cfg.model.ov.geometric_ensemble_beta)
         arch = cfg.model.meta_architecture
+        aux = None  # OV archs pass no aux logits (meta_architecture_ov.py:1344, :2148)
         if arch == "minvis_ov":
             logits, masks = _minvis_ov_video(cfg, model, params, images, fns, cfg.test.window_size, *ov_args)
         elif arch == "dvis_online_ov":
@@ -243,15 +244,16 @@ def main():
         else:
             logits, masks = _offline_ov_video(cfg, model, params, images, fns, cfg.test.window_size, *ov_args)
     elif cfg.model.meta_architecture in ("minvis", "ctvis"):
-        logits, masks = _minvis_video(cfg, model, params, images, fns, cfg.test.window_size)
+        logits, masks, aux = _minvis_video(cfg, model, params, images, fns, cfg.test.window_size)
     else:
-        logits, masks = _online_video(cfg, model, params, images, fns, cfg.test.window_size)
+        logits, masks, aux = _online_video(cfg, model, params, images, fns, cfg.test.window_size)
 
     h, w = [int(v) for v in sample["image_size"]]
     res = inference_video(
         logits, masks[:, : len(frame_files)],
         img_size=(h, w), output_size=(H0, W0),
         padded_size=images.shape[1:3], topk=cfg.test.max_num,
+        aux_pred_cls=aux,
     )
     dt = time.time() - t0
     print(f"{len(frame_files)} frames in {dt:.1f}s ({len(frame_files)/dt:.2f} fps)")

@@ -302,7 +302,6 @@ def _offline_refine(cfg, model, params, window_fns, pred_cls, full_masks,
     topk = cfg.model.daq.offline_topk_num
     scores = _softmax(pred_cls)[:, :-1].max(axis=1)
     order = np.argsort(-scores)[:topk]
-    sel_cls = pred_cls[order]
     sel_masks = full_masks[order]
     sel_emb = embeds[order]
 
@@ -383,13 +382,11 @@ def _offline_refine(cfg, model, params, window_fns, pred_cls, full_masks,
         masks_l.append(np.asarray(mw, dtype=np.float16))
     r_masks = np.concatenate(masks_l, axis=1)[:, :T]  # (Qr, T, H4, W4)
 
-    r_logits = np.asarray(r_logits, np.float32)[:N]
-    # fuse refined with online class probabilities (DVIS-style max merge)
-    probs = _softmax(r_logits)
-    aux = _softmax(sel_cls)[:, :-1]
-    probs[:, :-1] = np.maximum(probs[:, :-1], aux)
-    fused = np.log(np.clip(probs, 1e-20, 1.0))
-    return fused, r_masks[:N]
+    # the reference DAQ uses the refiner's logits directly — NO aux fusion
+    # with the online sequence logits (DVIS_DAQ/dvis_daq/meta_architecture.py
+    # :1349-1357 + the single inference_video_task callsite :399 passes no
+    # aux_pred_cls)
+    return np.asarray(r_logits, np.float32)[:N], r_masks[:N]
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:

@@ -68,7 +68,7 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
         else:
             out = _online_video(cfg, model, params, images, window_fns, W_sz)
 
-        logits, masks = out  # (Q, K+1), (Q, T', H4, W4) with T' >= T
+        logits, masks, aux = out  # (Q, K+1), (Q, T', H4, W4) with T' >= T
         masks = masks[:, :T]
 
         from dvis_plus_tpu.models.meta.minvis import inference_video
@@ -81,6 +81,7 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
             output_size=(int(sample["height"]), int(sample["width"])),
             padded_size=(H, W),
             topk=topk,
+            aux_pred_cls=aux,
         )
         evaluator.process(
             sample.get("video_id", 0),
@@ -93,13 +94,18 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
 
 
 def video_logits_masks(cfg: Config, model, params, images, window_fns, W_sz):
-    """Shared per-video forward: (fused class logits (Q, K+1),
-    masks (Q, T', H4, W4)) for any close-vocab arch incl. DAQ."""
+    """Shared per-video forward: (class logits (Q, K+1),
+    masks (Q, T', H4, W4), aux logits (Q, K+1) or None) for any close-vocab
+    arch incl. DAQ. Only the offline arch produces aux (the time-meaned
+    online tracker logits, fused by the task post-processing exactly like
+    reference :824-826/:874-876/:959-961; the online arch passes none,
+    :704)."""
     arch = cfg.model.meta_architecture
     if arch.startswith("daq"):
         from dvis_plus_tpu.engine.daq_inference import daq_video_logits_masks
 
-        return daq_video_logits_masks(cfg, model, params, images, window_fns)
+        lg, mk = daq_video_logits_masks(cfg, model, params, images, window_fns)
+        return lg, mk, None
     if arch in ("minvis", "ctvis"):
         return _minvis_video(cfg, model, params, images, window_fns, W_sz)
     if arch in ("maskformer", "video_maskformer"):
@@ -127,8 +133,9 @@ def run_vps_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
         T, H, W = images.shape[:3]
         if logits_masks_fn is not None:
             logits, masks = logits_masks_fn(images)
+            aux = None
         else:
-            logits, masks = video_logits_masks(cfg, model, params, images, window_fns, W_sz)
+            logits, masks, aux = video_logits_masks(cfg, model, params, images, window_fns, W_sz)
         masks = masks[:, :T]
         h, w = [int(v) for v in sample["image_size"]]
         out_size = (int(sample["height"]), int(sample["width"]))
@@ -145,6 +152,7 @@ def run_vps_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
                 output_size=out_size,
                 padded_size=(H, W),
                 object_mask_threshold=cfg.test.object_mask_threshold,
+                aux_pred_cls=None if aux is None else jnp.asarray(aux),
             )
             sc_l, lb_l, kp_l = scores, labels, keep  # per-query, frame-indep
             mu_l.append(np.asarray(masks_up, np.float16))
@@ -181,8 +189,9 @@ def run_vss_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
         T, H, W = images.shape[:3]
         if logits_masks_fn is not None:
             logits, masks = logits_masks_fn(images)
+            aux = None
         else:
-            logits, masks = video_logits_masks(cfg, model, params, images, window_fns, W_sz)
+            logits, masks, aux = video_logits_masks(cfg, model, params, images, window_fns, W_sz)
         masks = masks[:, :T]
         h, w = [int(v) for v in sample["image_size"]]
         sem_l = []
@@ -193,6 +202,7 @@ def run_vss_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
                 img_size=(h, w),
                 output_size=(int(sample["height"]), int(sample["width"])),
                 padded_size=(H, W),
+                aux_pred_cls=None if aux is None else jnp.asarray(aux),
             )))
         evaluator.process(
             sample.get("video_id", 0), sample["file_names"], np.concatenate(sem_l, 0)
@@ -268,7 +278,7 @@ def _minvis_video(cfg, model, params, images, window_fns, W_sz):
     if "minvis_pp" not in window_fns:
         window_fns["minvis_pp"] = jax.jit(minvis_post_processing)
     mean_logits, aligned = window_fns["minvis_pp"](logits, masks, embds, valid)
-    return mean_logits, aligned
+    return mean_logits, aligned, None
 
 
 def _clipformer_video(cfg, model, params, images, window_fns, W_sz):
@@ -293,7 +303,7 @@ def _clipformer_video(cfg, model, params, images, window_fns, W_sz):
         window_fns[key] = full
     logits, masks = window_fns[key](params, jnp.asarray(images))
     # (Q, K+1), (Q, Tb, H4, W4)
-    return logits, masks[:, :T]
+    return logits, masks[:, :T], None
 
 
 def _online_video(cfg, model, params, images, window_fns, W_sz):
@@ -346,7 +356,9 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
             masks_l.append(mk)
         logits = jnp.concatenate(logits_l, axis=0)[:T]  # (T, Q, K+1)
         masks = jnp.concatenate(masks_l, axis=1)[:, :T]  # (Q, T, H4, W4)
-        return logits.mean(axis=0), masks
+        # reference online post_processing: raw logits mean over t, no aux
+        # (:763-772, :704)
+        return logits.mean(axis=0), masks, None
 
     # Offline: embeds accumulate on device (tiny); mask features stay
     # device-resident while the whole video fits the HBM budget, and page to
@@ -431,9 +443,11 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
     else:
         r_masks = np.concatenate(masks_l, axis=1)  # (Q, T', H4, W4) host
 
-    # class fusion: max of refined and online probabilities (:824-826, :1377)
-    probs = jax.nn.softmax(r_logits.astype(jnp.float32), axis=-1)
-    aux = jax.nn.softmax(online_logits.astype(jnp.float32), axis=-1).mean(axis=0)[:, :-1]
-    probs = probs.at[:, :-1].set(jnp.maximum(probs[:, :-1], aux))
-    fused_logits = jnp.log(jnp.clip(probs, 1e-20, 1.0))
-    return fused_logits, r_masks[:, :T]
+    # aux = online tracker logits, RAW mean over t (reference offline
+    # post_processing :1482-1489); the max-of-probabilities fusion happens in
+    # the task post-processing AFTER its softmax, without renormalization
+    # (:824-826 vis, :874-876 vps, :959-961 vss) — fusing here and
+    # re-softmaxing later would renormalize by a per-query factor and change
+    # the cross-query top-K ranking
+    aux = online_logits.astype(jnp.float32).mean(axis=0)  # (Q, K+1)
+    return r_logits, r_masks[:, :T], aux

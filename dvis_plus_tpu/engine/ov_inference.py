@@ -202,9 +202,11 @@ def _online_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
         mk.append(b)
     logits = jnp.concatenate(lg, 0)[:T]  # (T, Q, K+1) fused log-probs
     masks = jnp.concatenate(mk, 1)  # (Q, T', H4, W4)
-    # video-level logits = log mean probability over frames
-    probs = jnp.exp(logits.astype(jnp.float32)).mean(axis=0)
-    return jnp.log(jnp.clip(probs, 1e-20, 1.0)), masks
+    # video-level logits = MEAN OF LOG-probs over the true frames (the
+    # reference post_processing means the per-frame log-prob matrix,
+    # meta_architecture_ov.py:1327 + :1482-1489 — a geometric mean of the
+    # frame probabilities, renormalized by the downstream softmax)
+    return logits.astype(jnp.float32).mean(axis=0), masks
 
 
 def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta):
@@ -320,9 +322,11 @@ def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, al
         None, tc, nt, scale_dummy, overlap, alpha, beta,
         out_vocab_logits=out_logits,
     )
-    probs = jnp.exp(fused_frames.astype(jnp.float32)).mean(axis=0)
-    # aux fusion with online tracker probabilities (reference aux_pred_cls max)
-    online = jnp.concatenate(online_lg, axis=0)
-    aux = jax.nn.softmax(online.astype(jnp.float32), axis=-1).mean(axis=0)[:, :-1]
-    probs = probs.at[:, :-1].set(jnp.maximum(probs[:, :-1], aux))
-    return jnp.log(jnp.clip(probs, 1e-20, 1.0)), masks
+    # video-level logits = mean of the TRUE frames' log-probs (reference OV
+    # offline post_processing :2147 means the per-frame log-prob matrix over
+    # t — geometric mean; padded tail frames excluded). The reference
+    # explicitly DISCARDS the online aux logits for OV offline
+    # (``aux_pred_logits = None``, meta_architecture_ov.py:2148), so no
+    # max-fusion here. (T = the pre-padding video length from above.)
+    del online_lg  # computed by the window fn; unused at inference (:2148)
+    return fused_frames.astype(jnp.float32)[:T].mean(axis=0), masks

@@ -127,14 +127,20 @@ def inference_video(
     output_size: Tuple[int, int],  # original video resolution
     padded_size: Tuple[int, int],  # padded model input resolution
     topk: int = 10,
+    aux_pred_cls: Optional[jnp.ndarray] = None,  # (Q, K+1) online aux logits
 ) -> VideoInference:
     """Top-K instance extraction + two-stage mask upsampling (reference
     inference_video :364-401: resize to padded input, crop valid region,
-    resize to original resolution, threshold at 0)."""
+    resize to original resolution, threshold at 0). ``aux_pred_cls`` is the
+    offline arch's auxiliary online-tracker logits: element-wise max of the
+    two softmaxes WITHOUT renormalization (inference_video_vis :824-826)."""
     Q, K1 = mask_cls.shape
     K = K1 - 1
     topk = min(topk, Q * K)  # small vocabularies / few queries
     scores = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)[:, :-1]  # (Q, K)
+    if aux_pred_cls is not None:
+        aux = jax.nn.softmax(aux_pred_cls.astype(jnp.float32), axis=-1)[:, :-1]
+        scores = jnp.maximum(scores, aux)
     flat = scores.reshape(-1)
     top_scores, top_idx = jax.lax.top_k(flat, topk)
     top_labels = top_idx % K

@@ -280,5 +280,5 @@ def test_maskformer_eval_clip_route(synth_coco, tmp_path):
 
     images5 = np.random.RandomState(0).rand(3, 64, 64, 3).astype(np.float32)
     params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(images5)[None])
-    logits, masks = video_logits_masks(cfg, model, params, images5, {}, W_sz=4)
+    logits, masks, _aux = video_logits_masks(cfg, model, params, images5, {}, W_sz=4)
     assert logits.shape == (8, 4) and masks.shape[:2] == (8, 3)

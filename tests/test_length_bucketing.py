@@ -124,7 +124,7 @@ def test_compile_count_bounded_over_val_set(arch):
     for i, T in enumerate(lengths):
         images = np.random.RandomState(i).rand(T, H, W, 3).astype(np.float32)
         fn = _minvis_video if arch == "minvis" else _online_video
-        logits, masks = fn(cfg, model, params, images, window_fns, W_sz)
+        logits, masks, _aux = fn(cfg, model, params, images, window_fns, W_sz)
         assert np.all(np.isfinite(np.asarray(logits)))
         outs.append(np.asarray(masks[:, :T]).shape)
 

@@ -143,3 +143,88 @@ def test_vss_matches_reference(oracle, seed):
     ours = semantic_inference(logits, masks, img_size=IMG, output_size=OUT,
                               padded_size=PADDED)
     assert (np.asarray(ours) == ref["pred_masks"].numpy()).all()
+
+
+@pytest.mark.parametrize("seed", [3, 7])
+def test_vis_aux_fusion_matches_reference(oracle, seed):
+    """The offline arch's aux fusion: max of the two softmaxes WITHOUT
+    renormalization, applied inside the task post-processing (reference
+    inference_video_vis :818-852 with aux_pred_cls)."""
+    import torch
+
+    from dvis_plus_tpu.models.meta.minvis import inference_video
+
+    logits, masks = _inputs(seed)
+    aux = np.random.RandomState(seed + 100).randn(Q, K + 1).astype(np.float32) * 2.0
+    self_ns = types.SimpleNamespace(
+        sem_seg_head=types.SimpleNamespace(num_classes=K),
+        device=torch.device("cpu"),
+        num_queries=Q,
+        max_num=10,
+    )
+    ref = oracle.DVIS_Plus_online.inference_video_vis(
+        self_ns, torch.from_numpy(logits), torch.from_numpy(masks),
+        IMG, OUT[0], OUT[1], PADDED, torch.arange(Q),
+        aux_pred_cls=torch.from_numpy(aux),
+    )
+    ours = inference_video(logits, masks, IMG, OUT, PADDED, topk=10,
+                           aux_pred_cls=aux)
+    ref_rows = sorted(
+        zip(ref["pred_scores"], ref["pred_labels"]), key=lambda r: (-r[0], r[1])
+    )
+    our_rows = sorted(
+        zip(np.asarray(ours.scores).tolist(), np.asarray(ours.labels).tolist()),
+        key=lambda r: (-r[0], r[1]),
+    )
+    for (rs, rl), (os_, ol) in zip(ref_rows, our_rows):
+        assert os_ == pytest.approx(rs, abs=1e-6) and ol == rl
+
+
+@pytest.mark.parametrize("seed", [8])
+def test_vps_vss_aux_fusion_matches_reference(oracle, seed):
+    import torch
+
+    from dvis_plus_tpu.models.meta.dvis_online import (
+        panoptic_probs,
+        panoptic_segments_host,
+        semantic_inference,
+    )
+
+    logits, masks = _inputs(seed)
+    aux = np.random.RandomState(seed + 100).randn(Q, K + 1).astype(np.float32) * 2.0
+    obj_thr, ovl_thr = 0.3, 0.6
+    self_ns = types.SimpleNamespace(
+        sem_seg_head=types.SimpleNamespace(num_classes=K),
+        object_mask_threshold=obj_thr,
+        overlap_threshold=ovl_thr,
+        metadata=types.SimpleNamespace(
+            thing_dataset_id_to_contiguous_id={i: i for i in range(N_THINGS)}
+        ),
+    )
+    ref_vps = oracle.DVIS_Plus_online.inference_video_vps(
+        self_ns, torch.from_numpy(logits.copy()), torch.from_numpy(masks),
+        IMG, OUT[0], OUT[1], PADDED, torch.arange(Q),
+        aux_pred_cls=torch.from_numpy(aux),
+    )
+    scores, labels, keep, up_masks, mask_ids = panoptic_probs(
+        logits, masks, img_size=IMG, output_size=OUT, padded_size=PADDED,
+        object_mask_threshold=obj_thr, aux_pred_cls=aux,
+    )
+    pan_seg, seg_infos, _ = panoptic_segments_host(
+        np.asarray(scores), np.asarray(labels), np.asarray(keep),
+        np.asarray(up_masks), np.asarray(mask_ids),
+        num_thing_classes=N_THINGS, overlap_threshold=ovl_thr,
+    )
+    assert (pan_seg == ref_vps["pred_masks"].numpy()).all()
+    assert [s["category_id"] for s in seg_infos] == [
+        s["category_id"] for s in ref_vps["segments_infos"]
+    ]
+
+    ref_vss = oracle.DVIS_Plus_online.inference_video_vss(
+        types.SimpleNamespace(), torch.from_numpy(logits), torch.from_numpy(masks),
+        IMG, OUT[0], OUT[1], PADDED, torch.arange(Q),
+        aux_pred_cls=torch.from_numpy(aux),
+    )
+    ours_vss = semantic_inference(logits, masks, img_size=IMG, output_size=OUT,
+                                  padded_size=PADDED, aux_pred_cls=aux)
+    assert (np.asarray(ours_vss) == ref_vss["pred_masks"].numpy()).all()
