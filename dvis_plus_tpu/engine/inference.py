@@ -276,8 +276,12 @@ def _minvis_video(cfg, model, params, images, window_fns, W_sz):
     embds = _pad_time_replicate(embds, T, Tb, 0)
     valid = jnp.arange(Tb) < T
     if "minvis_pp" not in window_fns:
-        window_fns["minvis_pp"] = jax.jit(minvis_post_processing)
-    mean_logits, aligned = window_fns["minvis_pp"](logits, masks, embds, valid)
+        window_fns["minvis_pp"] = jax.jit(
+            minvis_post_processing, static_argnames=("solver",)
+        )
+    mean_logits, aligned = window_fns["minvis_pp"](
+        logits, masks, embds, valid, solver=cfg.model.tracker.matcher_solver
+    )
     return mean_logits, aligned, None
 
 

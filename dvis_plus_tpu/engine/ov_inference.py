@@ -156,8 +156,12 @@ def _minvis_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
     embds = _pad_time_replicate(jnp.concatenate(em, 0), T, Tb, 0)
     valid = jnp.arange(Tb) < T
     if "minvis_pp" not in fns:
-        fns["minvis_pp"] = jax.jit(minvis_post_processing)
-    mean_logits, aligned = fns["minvis_pp"](logits, masks, embds, valid)
+        fns["minvis_pp"] = jax.jit(
+            minvis_post_processing, static_argnames=("solver",)
+        )
+    mean_logits, aligned = fns["minvis_pp"](
+        logits, masks, embds, valid, solver=cfg.model.tracker.matcher_solver
+    )
     return mean_logits, aligned
 
 

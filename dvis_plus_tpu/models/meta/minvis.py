@@ -68,17 +68,27 @@ def minvis_train_loss(
     return losses
 
 
-def match_from_embds(tgt_embds: jnp.ndarray, cur_embds: jnp.ndarray) -> jnp.ndarray:
+def match_from_embds(
+    tgt_embds: jnp.ndarray, cur_embds: jnp.ndarray, solver: str = "jv"
+) -> jnp.ndarray:
     """Cosine-cost Hungarian permutation aligning current queries to targets.
 
     Returns indices such that ``cur[indices]`` aligns with ``tgt``
-    (reference match_from_embds :255-264 — scipy on (1 - cos_sim)^T, here the
-    in-graph solver on the same cost).
+    (reference match_from_embds :362-371 — scipy on (1 - cos_sim)^T, here the
+    in-graph solver on the same cost). ``jv`` (default) is the exact solver
+    with reference scipy semantics (oracle-verified,
+    tests/test_postproc_reference_parity.py); ``auction`` is the vectorized
+    approximate solver — faster at large Q but can pick a different
+    permutation on near-degenerate costs.
     """
     cur = cur_embds / (jnp.linalg.norm(cur_embds, axis=1, keepdims=True) + 1e-12)
     tgt = tgt_embds / (jnp.linalg.norm(tgt_embds, axis=1, keepdims=True) + 1e-12)
     cost = 1.0 - tgt @ cur.T  # (Q_tgt, Q_cur)
-    return auction_lap(cost)  # row t -> current query index
+    if solver == "auction":
+        return auction_lap(cost)  # row t -> current query index
+    from dvis_plus_tpu.ops.hungarian import hungarian
+
+    return hungarian(cost)[0]
 
 
 def minvis_post_processing(
@@ -86,16 +96,18 @@ def minvis_post_processing(
     pred_masks: jnp.ndarray,  # (T, Q, H, W)
     pred_embds: jnp.ndarray,  # (T, Q, C)
     valid: Optional[jnp.ndarray] = None,  # (T,) bool; False = padded frame
+    solver: str = "jv",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frame-by-frame embedding alignment; returns (mean logits (Q, K+1),
     aligned masks (Q, T, H, W)). ``valid`` supports length-bucketed padding:
     the class mean runs over true frames only (alignment is a causal scan, so
-    trailing pad frames never affect real frames)."""
+    trailing pad frames never affect real frames). ``solver``: see
+    :func:`match_from_embds` (jit callers must treat it as static)."""
 
     def step(carry, xs):
         prev_embds = carry
         logits, masks, embds = xs
-        idx = match_from_embds(prev_embds, embds)
+        idx = match_from_embds(prev_embds, embds, solver=solver)
         return embds[idx], (logits[idx], masks[idx])
 
     init = pred_embds[0]

@@ -119,6 +119,10 @@ def test_compile_count_bounded_over_val_set(arch):
     params = jax.jit(model.init)(jax.random.key(0), init_in)
 
     lengths = [3, 5, 6, 7, 9, 11, 13, 17, 5, 7, 9, 13]  # 8 distinct
+    # jit wrappers over the same function share the global tracing cache:
+    # earlier tests' minvis_post_processing calls would leak into the
+    # _cache_size() assertion below
+    jax.clear_caches()
     window_fns = {}
     outs = []
     for i, T in enumerate(lengths):

@@ -228,3 +228,45 @@ def test_vps_vss_aux_fusion_matches_reference(oracle, seed):
     ours_vss = semantic_inference(logits, masks, img_size=IMG, output_size=OUT,
                                   padded_size=PADDED, aux_pred_cls=aux)
     assert (np.asarray(ours_vss) == ref_vss["pred_masks"].numpy()).all()
+
+
+@pytest.mark.parametrize("seed", [9, 10])
+def test_minvis_post_processing_matches_reference(oracle, seed):
+    """Frame-by-frame embedding alignment (reference MinVIS.post_processing
+    :373-419 + match_from_embds :362-371): identical aligned masks and
+    time-meaned logits on generic random embeddings (unique optimum per
+    frame, so the in-graph assignment must pick the scipy permutation)."""
+    import functools
+
+    import torch
+
+    from dvis_plus_tpu.models.meta.minvis import minvis_post_processing
+
+    rng = np.random.RandomState(seed)
+    Tq, Qq, Kq, Cq, h4, w4 = 6, 7, 4, 16, 8, 12
+    logits = rng.randn(Tq, Qq, Kq + 1).astype(np.float32)
+    masks = rng.randn(Tq, Qq, h4, w4).astype(np.float32)
+    embds = rng.randn(Tq, Qq, Cq).astype(np.float32)
+
+    self_ns = types.SimpleNamespace()
+    self_ns.match_from_embds = functools.partial(
+        oracle.MinVIS.match_from_embds, self_ns
+    )
+    outputs = {
+        "pred_logits": torch.from_numpy(logits)[None],  # (1, T, Q, K+1)
+        "pred_masks": torch.from_numpy(
+            np.transpose(masks, (1, 0, 2, 3))
+        )[None],  # (1, Q, T, h, w)
+        "pred_embds": torch.from_numpy(
+            np.transpose(embds, (2, 0, 1))
+        )[None],  # (1, C, T, Q)
+    }
+    ref = oracle.MinVIS.post_processing(self_ns, outputs)
+
+    mean_logits, aligned = minvis_post_processing(logits, masks, embds)
+    assert np.allclose(
+        np.asarray(mean_logits), ref["pred_logits"][0].numpy(), atol=1e-5
+    )
+    assert np.allclose(
+        np.asarray(aligned), ref["pred_masks"][0].numpy(), atol=1e-6
+    )
