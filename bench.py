@@ -158,14 +158,13 @@ def bench_offline(backbone="swin_l", H=736, W=1280, T_w=5, n_windows=2,
             )
             masks_l.append(mw)
         r_masks = jnp.concatenate(masks_l, axis=1)
-        probs = jax.nn.softmax(r_logits.astype(jnp.float32), axis=-1)
-        aux = jax.nn.softmax(online_logits.astype(jnp.float32), -1).mean(0)[:, :-1]
-        probs = probs.at[:, :-1].set(jnp.maximum(probs[:, :-1], aux))
-        fused = jnp.log(jnp.clip(probs, 1e-20, 1.0))
+        # aux fusion happens inside the top-K post-processing (reference
+        # inference_video_vis :824-826 semantics, as in the eval driver)
+        aux = online_logits.astype(jnp.float32).mean(0)
         res = inference_video(
-            fused, r_masks.astype(jnp.float32),
+            r_logits, r_masks.astype(jnp.float32),
             img_size=(720, 1280), output_size=(720, 1280), padded_size=(H, W),
-            topk=topk,
+            topk=topk, aux_pred_cls=aux,
         )
         return np.asarray(res.masks[:, 0, ::64, ::64])  # strided pull = sync
 
