@@ -9,8 +9,10 @@ renormalization :566-645, then MinVIS post-processing / tracker outputs):
 - per window the predicted masks pool the dense CLIP features
   (``pool_clip``), the ensemble runs per frame, and fused log-probs
   accumulate;
-- final logits = log mean frame probability; masks -> shared
-  ``inference_video`` top-K path.
+- video-level logits = mean of the true frames' log-probs (the reference
+  post_processing means the per-frame log-prob matrix — a geometric mean of
+  frame probabilities, :1482-1489); masks -> shared ``inference_video``
+  top-K path (no aux fusion anywhere in OV, :1344/:2148).
 """
 from __future__ import annotations
 
