@@ -178,6 +178,10 @@ class OVConfig:
     ensemble_on_valid_mask: bool = False
     clip_embed_dim: int = 768
     test2train: str = ""
+    # learned void rows appended to every text classifier — the reference
+    # allocates one per training dataset (meta_architecture_ov.py:152-157);
+    # multi-dataset supervised recipes set this to len(datasets.train)
+    num_void_embeddings: int = 1
 
 
 @dataclass

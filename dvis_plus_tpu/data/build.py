@@ -55,6 +55,17 @@ def mapper_for_type(cfg: Config, dataset_type: str, is_train: bool,
         from dvis_plus_tpu.data.pseudo_video import CocoPseudoVideoMapper
 
         return CocoPseudoVideoMapper(cfg, is_train=is_train)
+    if dataset_type == "image_panoptic":
+        # COCO panoptic -> pseudo-video (the zero-shot OV training recipe;
+        # reference train_net_video_ov.py:98 'image_panoptic' ->
+        # OpenVocabularyCocoPanoClipDatasetMapper)
+        from dvis_plus_tpu.data.pseudo_video import CocoPanopticPseudoVideoMapper
+
+        cats = None
+        if dataset_name:
+            md = get_metadata(dataset_name)
+            cats = getattr(md, "categories", None)
+        return CocoPanopticPseudoVideoMapper(cfg, is_train=is_train, categories=cats)
     if dataset_type == "video_sot":
         from dvis_plus_tpu.data.mapper_sot import SOTDatasetMapper
 
@@ -141,7 +152,13 @@ class CombinedDataLoader:
 
     def __next__(self):
         idx = self.rng.choices(range(len(self.loaders)), weights=self.ratios, k=1)[0]
-        return next(self.loaders[idx])
+        batch = next(self.loaders[idx])
+        # source-loader tag: OV training routes the per-dataset text
+        # classifier by it (reference keys the classifier off the mapper's
+        # dataset 'name' field, meta_architecture_ov.py:525-540)
+        if isinstance(batch, dict):
+            batch["dataset_index"] = idx
+        return batch
 
 
 def build_combined_train_loader(cfg: Config, seed: int = 0) -> Iterator[dict]:

@@ -166,6 +166,20 @@ def register_all_coco(root: str = "datasets") -> None:
             evaluator_type="none",
         )
 
+    # COCO panoptic as pseudo-video for the zero-shot OV training recipe,
+    # under the reference's split name (ov_datasets/coco_panoptic_video_ov.py
+    # :196-199, register_all_coco_video_ov); consumed by
+    # dataset_type 'image_panoptic' -> CocoPanopticPseudoVideoMapper
+    pj = os.path.join(coco, "annotations", "panoptic_train2017.json")
+    register_dataset(
+        "coco_panoptic_video_ov",
+        lambda j=pj, r=os.path.join(coco, "train2017"),
+        p=os.path.join(coco, "panoptic_train2017"): load_coco_panoptic(j, r, p),
+        json_file=pj,
+        evaluator_type="none",
+        **_categories_meta(pj),
+    )
+
     # ADE20k panoptic + Mapillary Vistas panoptic (same panoptic json layout)
     ade = os.path.join(root, "ADEChallengeData2016")
     jf = os.path.join(ade, "ade20k_panoptic_train.json")

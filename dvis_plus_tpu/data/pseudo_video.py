@@ -121,3 +121,61 @@ class CocoPseudoVideoMapper:
             "_frames": frames,  # in-memory RGB frames consumed by the mapper
         }
         return self.base(rec, seed=seed)
+
+
+class CocoPanopticPseudoVideoMapper(CocoPseudoVideoMapper):
+    """COCO *panoptic* image record -> pseudo-video clip.
+
+    Re-designs reference ``OpenVocabularyCocoPanoClipDatasetMapper``
+    (``DVIS_Plus/ov_dvis/data_video/dataset_mapper.py:135-363``): the panoptic
+    PNG is id-decoded and every non-crowd segment — things AND stuff — becomes
+    one tracked pseudo-video instance whose class is the things-first
+    contiguous id (reference ``_get_coco_panoptic_meta_ov``,
+    ``ov_datasets/coco_panoptic_video_ov.py:158-194``; that ordering equals the
+    ``coco_panoptic_with_prompt_eng.txt`` vocabulary row order). This is the
+    training data path of the zero-shot OV recipes (``FC-CLIP_*`` /
+    ``DVIS_*_zero_shot`` configs train on ``coco_panoptic_video_ov``)."""
+
+    def __init__(self, cfg: Config, is_train: bool = True, categories=None):
+        super().__init__(cfg, is_train=is_train)
+        self.dataset_to_contiguous = None
+        if categories:
+            from dvis_plus_tpu.data.datasets.vps_vss import panoptic_contiguous_maps
+
+            self.dataset_to_contiguous, _, _ = panoptic_contiguous_maps(categories)
+
+    def __call__(self, record: dict, seed: Optional[int] = None) -> Dict[str, np.ndarray]:
+        import cv2
+
+        from dvis_plus_tpu.data.datasets.vps_vss import decode_panoptic_png
+
+        pan = cv2.imread(record["pan_seg_file_names"][0], cv2.IMREAD_COLOR)
+        segments = record.get("segments_infos", [[]])[0]
+        anns = []
+        if pan is not None:
+            seg_ids = decode_panoptic_png(pan[:, :, ::-1])  # BGR -> RGB
+            for s in segments:
+                if s.get("iscrowd", 0):
+                    continue  # reference keeps non-crowd only (:330-333)
+                cat = s["category_id"]
+                if self.dataset_to_contiguous is not None:
+                    if cat not in self.dataset_to_contiguous:
+                        continue
+                    cat = self.dataset_to_contiguous[cat]
+                mask = (seg_ids == s["id"]).astype(np.uint8)
+                if not mask.any():
+                    continue
+                anns.append({
+                    "id": s["id"],
+                    "category_id": cat,
+                    "segmentation": {"_raw": mask},
+                    "iscrowd": 0,
+                })
+        inst_record = {
+            "file_name": record["file_names"][0],
+            "image_id": record.get("video_id", 0),
+            "height": record.get("height", 0),
+            "width": record.get("width", 0),
+            "annotations": anns,
+        }
+        return super().__call__(inst_record, seed=seed)

@@ -63,7 +63,7 @@ class OVSegmenter(nn.Module):
         # text classifier in-graph via :meth:`full_classifier`
         self.void_embedding = self.param(
             "void_embedding", nn.initializers.normal(1.0),
-            (1, self.cfg.ov.clip_embed_dim),
+            (self.cfg.ov.num_void_embeddings, self.cfg.ov.clip_embed_dim),
         )
         td = self.cfg.transformer_decoder
         self.transformer_decoder = OVMaskedTransformerDecoder(

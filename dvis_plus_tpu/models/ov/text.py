@@ -107,15 +107,18 @@ def build_text_classifier(
 class TextClassifierCache:
     """Per-dataset classifier cache (reference builds+caches per dataset name)."""
 
-    def __init__(self, encode_fn, templates: Sequence[str] = VILD_TEMPLATES):
+    def __init__(self, encode_fn, templates: Sequence[str] = VILD_TEMPLATES,
+                 num_void: int = 1):
         self.encode_fn = encode_fn
         self.templates = list(templates)
+        self.num_void = num_void
         self._cache: Dict[str, Tuple[np.ndarray, List[int]]] = {}
 
     def get(self, dataset_name: str, classes, void_embeds=None) -> Tuple[np.ndarray, List[int]]:
         if dataset_name not in self._cache:
             self._cache[dataset_name] = build_text_classifier(
-                self.encode_fn, classes, void_embeds, self.templates
+                self.encode_fn, classes, void_embeds, self.templates,
+                num_void=self.num_void,
             )
         return self._cache[dataset_name]
 

@@ -149,6 +149,24 @@ ZOO_ROWS = {
     ("ov-sup", "vipseg", "convnextl", "offline"): "ov/ov_offline_convnextl_vipseg.yaml",
     ("ov-sup", "vspw", "convnextl", "online"): "ov/ov_online_convnextl_vspw.yaml",
     ("ov-sup", "vspw", "convnextl", "offline"): "ov/ov_offline_convnextl_vspw.yaml",
+    # FC-CLIP segmenter stage (reference configs/open_vocabulary/FC-CLIP_*.yaml
+    # + R50/ variants) and the supervised 5-dataset mixture recipes
+    ("fcclip", "coco", "convnextl", "zero-shot"): "ov/fcclip_convnextl_coco.yaml",
+    ("fcclip", "coco", "r50", "zero-shot"): "ov/fcclip_r50_coco.yaml",
+    ("fcclip", "mixture", "convnextl", "supervised"): "ov/fcclip_convnextl_supervised.yaml",
+    ("fcclip", "mixture", "r50", "supervised"): "ov/fcclip_r50_supervised.yaml",
+    ("ov-sup", "mixture", "convnextl", "online"): "ov/ov_online_convnextl_supervised.yaml",
+    ("ov-sup", "mixture", "convnextl", "offline"): "ov/ov_offline_convnextl_supervised.yaml",
+    # OV-MinVIS zero-shot eval rows (reference
+    # configs/open_vocabulary/test/{zero_shot,R50/zero_shot}/minvis_*eval.yaml)
+    ("ov-zs-minvis", "ovis", "convnextl", "eval"): "ov/ov_minvis_convnextl_zeroshot_ovis.yaml",
+    ("ov-zs-minvis", "ytvis19", "convnextl", "eval"): "ov/ov_minvis_convnextl_zeroshot_ytvis19.yaml",
+    ("ov-zs-minvis", "ytvis21", "convnextl", "eval"): "ov/ov_minvis_convnextl_zeroshot_ytvis21.yaml",
+    ("ov-zs-minvis", "vipseg", "convnextl", "eval"): "ov/ov_minvis_convnextl_zeroshot_vipseg.yaml",
+    ("ov-zs-minvis", "vspw", "convnextl", "eval"): "ov/ov_minvis_convnextl_zeroshot_vspw.yaml",
+    ("ov-zs-minvis", "ovis", "r50", "eval"): "ov/ov_minvis_r50_zeroshot_ovis.yaml",
+    ("ov-zs-minvis", "ytvis19", "r50", "eval"): "ov/ov_minvis_r50_zeroshot_ytvis19.yaml",
+    ("ov-zs-minvis", "ytvis21", "r50", "eval"): "ov/ov_minvis_r50_zeroshot_ytvis21.yaml",
 }
 
 

@@ -39,7 +39,7 @@ def test_coco_panoptic_catalog(synth_coco):
 
     recs = get_dataset("coco_2017_train_panoptic")
     assert len(recs) == 4
-    assert len(recs[0]["segments_infos"][0]) == 2
+    assert len(recs[0]["segments_infos"][0]) == 3  # 2 things + 1 stuff
     assert recs[0]["pan_seg_file_names"][0].endswith(".png")
 
 
@@ -78,6 +78,37 @@ def test_coco_panoptic_image_pretraining_loader(synth_coco):
     batch = next(loader)
     assert batch["images"].shape[1] == 1
     assert batch["valid"].any()
+
+
+def test_coco_panoptic_pseudo_video_loader(synth_coco):
+    """Zero-shot OV training data path: COCO panoptic -> pseudo-video clips
+    with things-first contiguous classes over things AND stuff (reference
+    OpenVocabularyCocoPanoClipDatasetMapper + coco_panoptic_video_ov split)."""
+    from dvis_plus_tpu.data.build import build_combined_train_loader
+    from dvis_plus_tpu.data.catalog import get_dataset
+
+    recs = get_dataset("coco_panoptic_video_ov")
+    assert len(recs) == 4 and len(recs[0]["segments_infos"][0]) == 3
+
+    cfg = make_cfg()
+    cfg.model.num_classes = 3
+    cfg.datasets.train = ("coco_panoptic_video_ov",)
+    cfg.datasets.dataset_type = ("image_panoptic",)
+    cfg.solver.ims_per_batch = 2
+    loader = build_combined_train_loader(cfg, seed=0)
+    batch = next(loader)
+    T = cfg.input.sampling_frame_num
+    assert batch["images"].shape[1] == T
+    valid = batch["valid"]
+    labels = batch["labels"]
+    assert valid.any()
+    # things-first contiguous space: person=0, car=1, stuff sky=2; the stuff
+    # background segment must be present as a tracked instance
+    assert set(np.unique(labels[valid]).tolist()) <= {0, 1, 2}
+    assert (labels[valid] == 2).any()
+    # pseudo-video: identities persist across the synthesized frames
+    fv = batch["frame_valid"][0]
+    assert fv[valid[0]].all()
 
 
 def test_lsj_pseudo_video_fixed_canvas(synth_coco):

@@ -92,6 +92,55 @@ def test_text_encoder_fails_loudly_without_weights():
         make_text_encoder(cfg, args)
 
 
+def test_ov_multidataset_supervised_train(synth_dataset, tmp_path,  # noqa: F811
+                                          tmp_path_factory, monkeypatch):
+    """Supervised-mixture OV training (reference
+    DVIS_Online_supervised_convnextl.yaml): COCO-panoptic pseudo-video +
+    a video dataset in one run, per-batch text classifiers routed by the
+    batch's source dataset (reference keys the classifier off the mapper's
+    `name` field, meta_architecture_ov.py:525-540) and one learned void row
+    per training dataset (:152-157)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import synth_data
+
+    from dvis_plus_tpu.data.datasets.coco import register_all_coco
+    from train_net_video_ov import do_train, make_text_encoder
+
+    root = str(tmp_path_factory.mktemp("coco_synth_ov"))
+    synth_data.make_coco(root)
+    register_all_coco(root)
+    # do_train's register_all_datasets() re-registers builtin names from this
+    # root, keeping the synthetic COCO panoptic tree visible
+    monkeypatch.setenv("DVIS_DATASETS", root)
+
+    cfg = ov_tiny_cfg("dvis_online")
+    cfg.model.num_classes = 3
+    cfg.model.ov.num_void_embeddings = 2
+    cfg.datasets.train = ("coco_panoptic_video_ov", "synth_train")
+    cfg.datasets.dataset_type = ("image_panoptic", "video_instance")
+    cfg.datasets.dataset_ratio = (0.5, 0.5)
+    cfg.solver.max_iter = 4
+    cfg.output_dir = str(tmp_path)
+    encode_fn = make_text_encoder(cfg, _args())
+    state = do_train(cfg, _args(), encode_fn)
+    assert int(state.step) == 4
+
+    def _find_void(tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                if k == "void_embedding":
+                    return v
+                found = _find_void(v)
+                if found is not None:
+                    return found
+        return None
+
+    void = _find_void(state.params)
+    assert void is not None and void.shape[0] == 2
+
+
 @pytest.fixture(scope="module")
 def synth_vps_vss_root(tmp_path_factory):
     """VIPSeg + VSPW synthetic trees; DVIS_DATASETS points at them so

@@ -183,17 +183,29 @@ def make_coco(root: str, n_images=4, H=64, W=96) -> None:
                                   "iscrowd": 0, "area": int(m.sum()),
                                   "bbox": bbox})
             ann_id += 1
+        # stuff background segment (panoptic-only, like real COCO panoptic):
+        # everything the thing boxes don't cover
+        bg = (pan_png.sum(axis=-1) == 0)
+        seg_id = ann_id
+        pan_png[bg] = [seg_id % 256, seg_id // 256, 0]
+        segments_info.append({"id": seg_id, "category_id": 3,
+                              "iscrowd": 0, "area": int(bg.sum()),
+                              "bbox": [0, 0, W, H]})
+        ann_id += 1
         pan_fn = fn.replace(".jpg", ".png")
         cv2.imwrite(os.path.join(pan_dir, pan_fn), pan_png[:, :, ::-1])
         pan_annotations.append({"image_id": i, "file_name": pan_fn,
                                 "segments_info": segments_info})
+    pan_cats = [{"id": 1, "name": "person", "isthing": 1},
+                {"id": 2, "name": "car", "isthing": 1},
+                {"id": 3, "name": "sky", "isthing": 0}]
     cats = [{"id": 1, "name": "person", "isthing": 1},
             {"id": 2, "name": "car", "isthing": 1}]
     os.makedirs(os.path.join(root, "coco", "annotations"), exist_ok=True)
     with open(os.path.join(root, "coco", "annotations", "instances_train2017.json"), "w") as fp:
         json.dump({"images": images, "annotations": annotations, "categories": cats}, fp)
     with open(os.path.join(root, "coco", "annotations", "panoptic_train2017.json"), "w") as fp:
-        json.dump({"images": images, "annotations": pan_annotations, "categories": cats}, fp)
+        json.dump({"images": images, "annotations": pan_annotations, "categories": pan_cats}, fp)
 
 
 def main():

@@ -176,7 +176,7 @@ def build_classifier(cfg, dataset_name, encode_fn, void_embeds=None):
     from dvis_plus_tpu.models.ov.text import TextClassifierCache
 
     classes = vocabulary_for(dataset_name)
-    cache = TextClassifierCache(encode_fn)
+    cache = TextClassifierCache(encode_fn, num_void=cfg.model.ov.num_void_embeddings)
     # void rows are LEARNED model params appended in-graph (full_classifier);
     # num_templates still ends with the void-row count
     tc, nt = cache.get(dataset_name, classes, void_embeds)
@@ -198,8 +198,16 @@ def do_train(cfg, args, encode_fn):
     register_all_datasets()
     cfg.model.meta_architecture = _ov_arch(cfg)
     model = build_ov_model(cfg)
-    train_name = cfg.datasets.train[0]
-    tc, nt, _ = build_classifier(cfg, train_name, encode_fn)
+    # one classifier per TRAINING dataset: the reference keys the text
+    # classifier off each batch's source dataset (`name` field,
+    # meta_architecture_ov.py:525-540) so the supervised mixture recipes
+    # (COCO-panoptic + ytvis19/21 + ovis + VIPSeg) train each batch against
+    # its own vocabulary. Each classifier gets its own jitted step closure
+    # sharing one TrainState.
+    classifiers = [
+        build_classifier(cfg, name, encode_fn)[:2] for name in cfg.datasets.train
+    ]
+    tc, nt = classifiers[0]
 
     T = cfg.input.sampling_frame_num
     div = cfg.model.size_divisibility
@@ -216,9 +224,14 @@ def do_train(cfg, args, encode_fn):
     if cfg.weights:
         params = ckpt.load_weights(cfg.weights, params, cfg=cfg)
 
-    train_step, init_state = build_train_step(
-        cfg, model, text_classifier=tc, num_templates=nt
-    )
+    steps = []
+    init_state = None
+    for tc_i, nt_i in classifiers:
+        step_i, init_i = build_train_step(
+            cfg, model, text_classifier=tc_i, num_templates=nt_i
+        )
+        steps.append(step_i)
+        init_state = init_state or init_i
     state = init_state(params)
     mesh = build_mesh(model_parallel_size=cfg.parallel.model_parallel_size)
     loader = build_combined_train_loader(cfg, seed=cfg.seed)
@@ -235,7 +248,7 @@ def do_train(cfg, args, encode_fn):
             ),
         )
         batch = shard_batch(batch, mesh)
-        state, metrics = train_step(state, batch, rng)
+        state, metrics = steps[raw.get("dataset_index", 0)](state, batch, rng)
         if step % 20 == 0:
             writer.write(step, {k: float(v) for k, v in metrics.items()})
             writer.log_console(step)
