@@ -15,6 +15,7 @@ Replaces detectron2's ``DetectionCheckpointer``
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict, Optional
 
@@ -66,12 +67,37 @@ def load_weights(path: str, params: Dict, subtree: Optional[str] = None,
         for k in subtree.split("/"):
             loaded = loaded[k]
 
+    if (
+        isinstance(loaded, dict)
+        and "params" in loaded
+        and ("opt_state" in loaded or "step" in loaded)
+    ):
+        # a full TrainState checkpoint (what the CLI training loop saves):
+        # stage chaining points cfg.weights at the previous stage's
+        # checkpoint dir (reference MODEL.WEIGHTS semantics), so strip the
+        # optimizer/step wrapper and merge its model params
+        loaded = loaded["params"]
+
     flat_params = _flatten(params)
     flat_loaded = _flatten(loaded)
     merged = dict(flat_params)
+    n_hit = 0
     for k, v in flat_loaded.items():
         if k in merged and merged[k].shape == v.shape:
             merged[k] = v
+            n_hit += 1
+    logger = logging.getLogger(__name__)
+    if n_hit == 0:
+        logger.warning(
+            "load_weights(%s): NO parameter overlapped the model (checkpoint "
+            "leaves: %d, model leaves: %d) — the model keeps its fresh init",
+            path, len(flat_loaded), len(flat_params),
+        )
+    else:
+        logger.info(
+            "load_weights(%s): loaded %d/%d model leaves (%d checkpoint leaves)",
+            path, n_hit, len(flat_params), len(flat_loaded),
+        )
     return _unflatten(merged)
 
 

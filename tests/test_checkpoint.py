@@ -40,6 +40,32 @@ def test_partial_load_stage_chaining(tmp_path):
     np.testing.assert_allclose(np.asarray(merged["params"]["tracker"]["w"]), 5.0)
 
 
+def test_load_weights_from_trainstate_checkpoint(tmp_path):
+    """Stage chaining through the CLI: cfg.weights points at a previous
+    stage's TRAINING checkpoint (a full TrainState: step/params/opt_state,
+    what do_train saves) — load_weights must strip the optimizer wrapper and
+    merge the model params (reference MODEL.WEIGHTS accepts the previous
+    stage's DetectionCheckpointer save the same way)."""
+    state = {
+        "step": jnp.asarray(7),
+        "params": {"params": {"segmenter": {"w": jnp.full((3,), 2.0)}}},
+        "opt_state": {"mu": {"params": {"segmenter": {"w": jnp.zeros((3,))}}}},
+        "memory": {},
+    }
+    path = str(tmp_path / "stage1_state")
+    ckpt.save(path, state)
+
+    template = {
+        "params": {
+            "segmenter": {"w": jnp.zeros((3,))},
+            "tracker": {"w": jnp.full((2,), 5.0)},
+        }
+    }
+    merged = ckpt.load_weights(path, template)
+    np.testing.assert_allclose(np.asarray(merged["params"]["segmenter"]["w"]), 2.0)
+    np.testing.assert_allclose(np.asarray(merged["params"]["tracker"]["w"]), 5.0)
+
+
 def test_partial_load_shape_mismatch_keeps_init(tmp_path):
     old = {"params": {"head": {"w": jnp.ones((3, 4))}}}
     path = str(tmp_path / "old")
