@@ -58,7 +58,11 @@ class BackboneConfig:
     vit_conv_inplane: int = 64
     vit_deform_num_heads: int = 16
     vit_n_points: int = 4
-    vit_with_cffn: bool = False
+    # reference vitl/vitb adapter args (adapter.py:368-405): ConvFFN enabled,
+    # deformable value projections at half width — zoo ViT-L checkpoints
+    # carry these params, so the defaults must match to load them
+    vit_with_cffn: bool = True
+    vit_deform_ratio: float = 0.5
     vit_frozen: bool = True
     vit_flash_attention: bool = False  # serving-only blockwise trunk attention
     # (ops/flash_attn.py; parity runs keep the dense fp32-softmax island)
@@ -182,6 +186,11 @@ class OVConfig:
     # allocates one per training dataset (meta_architecture_ov.py:152-157);
     # multi-dataset supervised recipes set this to len(datasets.train)
     num_void_embeddings: int = 1
+    # how to merge the void rows for datasets with no private row (eval on
+    # unseen vocabularies; reference void_embedding_merge_mode :181, default
+    # 'coco' = row 0): 'coco' | 'mean' | 'max' ('max' keeps all rows as one
+    # max-ensembled template group)
+    void_merge_mode: str = "coco"
 
 
 @dataclass
@@ -293,6 +302,13 @@ class TestConfig:
     # reference's one-DDP-rank-per-GPU inference). Mutually exclusive
     # with refiner_shard_devices.
     eval_devices: int = 1
+    # HBM budget (GB) for whole-video eval tensors (offline mask features,
+    # online/minvis stride-4 mask accumulation): videos whose tensors exceed
+    # it page window-by-window through host fp16 — the TPU-native form of
+    # the reference's retry_if_cuda_oom -> CPU fp32 escape hatch
+    # (mask2former_video/utils/memory.py:27-80). Env override:
+    # DVIS_OFFLINE_MF_BUDGET_GB.
+    offline_mf_budget_gb: float = 4.0
 
 
 @dataclass

@@ -246,7 +246,10 @@ def daq_video_logits_masks(cfg: Config, model, params, images, window_fns: Dict)
 def run_daq_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator):
     """DAQ eval loop: streaming cutter -> (optional offline refine) ->
     top-K VIS outputs -> evaluator (or VOS PNGs for test.task == 'vos')."""
-    from dvis_plus_tpu.models.meta.minvis import inference_video
+    from dvis_plus_tpu.engine.inference import (
+        paged_inference_video,
+        resolve_window_size,
+    )
 
     offline = cfg.model.meta_architecture == "daq_offline"
     window_fns: Dict = {}
@@ -277,20 +280,23 @@ def run_daq_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
         masks = _pad_rows(full_masks.astype(np.float32), bucket, fill=-1e4)
 
         h, w = [int(v) for v in sample["image_size"]]
-        res = inference_video(
+        # time-chunked top-K upsampling (host masks stay host; chunks page
+        # through the device) — see inference.paged_inference_video
+        scores, labels, out_masks = paged_inference_video(
             jnp.asarray(logits),
-            jnp.asarray(masks),
+            masks,
             img_size=(h, w),
             output_size=(int(sample["height"]), int(sample["width"])),
             padded_size=(H, W),
             topk=min(cfg.test.max_num, bucket),
+            chunk=resolve_window_size(cfg),
         )
         evaluator.process(
             sample.get("video_id", 0),
             {
-                "pred_scores": np.asarray(res.scores).tolist(),
-                "pred_labels": np.asarray(res.labels).tolist(),
-                "pred_masks": np.asarray(res.masks),
+                "pred_scores": np.asarray(scores).tolist(),
+                "pred_labels": np.asarray(labels).tolist(),
+                "pred_masks": out_masks,
             },
         )
 
@@ -312,8 +318,16 @@ def _offline_refine(cfg, model, params, window_fns, pred_cls, full_masks,
     pad_T = n_windows * W_sz
 
     # frame embeds + mask features re-run per window (the streaming pass does
-    # not keep them; segmenter windows are cheap relative to holding
-    # full-video mask features in HBM)
+    # not keep them). Mask features stay DEVICE-resident while the whole
+    # video fits the HBM budget — same policy as the close-vocab offline
+    # driver (inference.eval_mask_budget_bytes); only beyond it do they page
+    # through host (each np.asarray round-trip pays PCIe/relay bandwidth)
+    from dvis_plus_tpu.engine.inference import eval_mask_budget_bytes
+
+    Him4, Wim4 = images.shape[1] // 4, images.shape[2] // 4
+    mf_bytes = n_windows * W_sz * Him4 * Wim4 * 256 * 4
+    keep_on_device = mf_bytes < eval_mask_budget_bytes(cfg)
+
     seg_fn = window_fns["seg"]
     frame_l, mf_host = [], []
     for w in range(n_windows):
@@ -324,7 +338,7 @@ def _offline_refine(cfg, model, params, window_fns, pred_cls, full_masks,
             )
         _, _, fe, mf, _ = seg_fn(params, jnp.asarray(chunk))
         frame_l.append(np.asarray(fe))
-        mf_host.append(np.asarray(mf))
+        mf_host.append(mf if keep_on_device else np.asarray(mf))
     frame_embeds = np.concatenate(frame_l, axis=0)  # (pad_T, fQ, C)
 
     Qr = max(topk, 1)
@@ -379,8 +393,11 @@ def _offline_refine(cfg, model, params, window_fns, pred_cls, full_masks,
             jax.lax.dynamic_slice_in_dim(membd, w * W_sz, W_sz, axis=0),
             jnp.asarray(mf_host[w]),
         )
-        masks_l.append(np.asarray(mw, dtype=np.float16))
-    r_masks = np.concatenate(masks_l, axis=1)[:, :T]  # (Qr, T, H4, W4)
+        masks_l.append(mw if keep_on_device else np.asarray(mw, dtype=np.float16))
+    if keep_on_device:
+        r_masks = np.asarray(jnp.concatenate(masks_l, axis=1)[:, :T], np.float16)
+    else:
+        r_masks = np.concatenate(masks_l, axis=1)[:, :T]  # (Qr, T, H4, W4)
 
     # the reference DAQ uses the refiner's logits directly — NO aux fusion
     # with the online sequence logits (DVIS_DAQ/dvis_daq/meta_architecture.py

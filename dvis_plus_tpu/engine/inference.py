@@ -41,6 +41,55 @@ def resolve_window_size(cfg: Config) -> int:
     return W_sz
 
 
+def eval_mask_budget_bytes(cfg: Config) -> float:
+    """HBM budget for whole-video eval tensors: videos beyond it page
+    window-by-window through host fp16 (``test.offline_mf_budget_gb``; env
+    ``DVIS_OFFLINE_MF_BUDGET_GB`` overrides — the knob predates its config
+    field)."""
+    gb = os.environ.get("DVIS_OFFLINE_MF_BUDGET_GB", "")
+    if gb:
+        return float(gb) * 1e9
+    return float(getattr(cfg.test, "offline_mf_budget_gb", 4.0)) * 1e9
+
+
+def paged_inference_video(
+    mask_cls,
+    mask_pred,  # (Q, T, H4, W4) device array OR host np array
+    img_size,
+    output_size,
+    padded_size,
+    topk: int = 10,
+    aux_pred_cls=None,
+    chunk: int = 16,
+):
+    """Top-K extraction with TIME-CHUNKED upsampling: semantics identical to
+    ``minvis.inference_video`` but the (topk, T, out_h, out_w) tensor never
+    materializes on device — at OVIS-like T=300+ and 720p output it would be
+    tens of GB. Chunks of ``chunk`` frames upsample on device and land in a
+    host bool array (replacing the reference's retry_if_cuda_oom -> CPU fp32
+    escape hatch around inference_video, meta_architecture.py:704)."""
+    from dvis_plus_tpu.models.meta.minvis import topk_select, upsample_masks
+
+    scores, labels, queries = topk_select(
+        jnp.asarray(mask_cls), topk,
+        None if aux_pred_cls is None else jnp.asarray(aux_pred_cls),
+    )
+    T = mask_pred.shape[1]
+    n = int(scores.shape[0])
+    out = np.zeros((n, T, int(output_size[0]), int(output_size[1])), np.bool_)
+    host = isinstance(mask_pred, np.ndarray)
+    q_host = np.asarray(queries)
+    for s0 in range(0, T, chunk):
+        s1 = min(s0 + chunk, T)
+        if host:
+            sel = jnp.asarray(mask_pred[:, s0:s1][q_host], jnp.float32)
+        else:
+            sel = jax.lax.slice_in_dim(mask_pred, s0, s1, axis=1)[queries]
+        up = upsample_masks(sel, img_size, output_size, padded_size)
+        out[:, s0:s1] = np.asarray(up)
+    return scores, labels, out
+
+
 def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator):
     """VIS eval loop: segmenter(+tracker) windows -> post-processing -> top-K
     masks -> evaluator.process per video."""
@@ -58,8 +107,6 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
     for sample in loader:
         images = sample["images"]  # (T, H, W, 3) numpy
         T, H, W = images.shape[:3]
-        n_windows = (T + W_sz - 1) // W_sz
-        pad_T = n_windows * W_sz
 
         if arch in ("minvis", "ctvis"):
             out = _minvis_video(cfg, model, params, images, window_fns, W_sz)
@@ -71,10 +118,8 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
         logits, masks, aux = out  # (Q, K+1), (Q, T', H4, W4) with T' >= T
         masks = masks[:, :T]
 
-        from dvis_plus_tpu.models.meta.minvis import inference_video
-
         h, w = [int(v) for v in sample["image_size"]]
-        res = inference_video(
+        scores, labels, out_masks = paged_inference_video(
             logits,
             masks,
             img_size=(h, w),
@@ -82,13 +127,14 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
             padded_size=(H, W),
             topk=topk,
             aux_pred_cls=aux,
+            chunk=W_sz,
         )
         evaluator.process(
             sample.get("video_id", 0),
             {
-                "pred_scores": np.asarray(res.scores).tolist(),
-                "pred_labels": np.asarray(res.labels).tolist(),
-                "pred_masks": np.asarray(res.masks),
+                "pred_scores": np.asarray(scores).tolist(),
+                "pred_labels": np.asarray(labels).tolist(),
+                "pred_masks": out_masks,
             },
         )
 
@@ -254,27 +300,55 @@ def _minvis_video(cfg, model, params, images, window_fns, W_sz):
     T = images.shape[0]
     n_windows = (T + W_sz - 1) // W_sz
     images = _pad_to(images, n_windows * W_sz)
+
+    # long videos: the full (T, Q, H4, W4) stride-4 mask stack would exceed
+    # the HBM budget — page each window's masks to host fp16 and align them
+    # host-side with the per-frame permutations (the alignment scan itself
+    # only needs logits + embds, which are tiny)
+    Him, Wim = images.shape[1:3]
+    Q = cfg.model.transformer_decoder.num_queries
+    mask_bytes = n_windows * W_sz * Q * (Him // 4) * (Wim // 4) * 4
+    page_to_host = mask_bytes > eval_mask_budget_bytes(cfg)
+
     logits_l, masks_l, embds_l = [], [], []
     for i in range(n_windows):
         chunk = jnp.asarray(images[i * W_sz : (i + 1) * W_sz])
         lg, mk, em = win(params, chunk)
         logits_l.append(lg)
-        masks_l.append(mk)
+        masks_l.append(np.asarray(mk, np.float16) if page_to_host else mk)
         embds_l.append(em)
     logits = jnp.concatenate(logits_l, axis=0)
-    masks = jnp.concatenate(masks_l, axis=0)
     embds = jnp.concatenate(embds_l, axis=0)
-
-    from dvis_plus_tpu.models.meta.minvis import minvis_post_processing
 
     # bucket the post-processing length (see _bucket_windows) and mask the
     # mean over the true T; the frame-alignment scan is causal, so replicated
     # pad frames never affect real-frame alignment
     Tb = _bucket_windows(n_windows) * W_sz
     logits = _pad_time_replicate(logits, T, Tb, 0)
-    masks = _pad_time_replicate(masks, T, Tb, 0)
     embds = _pad_time_replicate(embds, T, Tb, 0)
     valid = jnp.arange(Tb) < T
+
+    if page_to_host:
+        from dvis_plus_tpu.models.meta.minvis import minvis_alignment
+
+        if "minvis_align" not in window_fns:
+            window_fns["minvis_align"] = jax.jit(
+                minvis_alignment, static_argnames=("solver",)
+            )
+        mean_logits, perms = window_fns["minvis_align"](
+            logits, embds, valid, solver=cfg.model.tracker.matcher_solver
+        )
+        perms = np.asarray(perms)  # (Tb, Q)
+        masks_host = np.concatenate(masks_l, axis=0)[:T]  # (T, Q, H4, W4)
+        aligned = np.take_along_axis(
+            masks_host, perms[:T, :, None, None], axis=1
+        ).transpose(1, 0, 2, 3)  # (Q, T, H4, W4) host fp16
+        return mean_logits, aligned, None
+
+    from dvis_plus_tpu.models.meta.minvis import minvis_post_processing
+
+    masks = jnp.concatenate(masks_l, axis=0)
+    masks = _pad_time_replicate(masks, T, Tb, 0)
     if "minvis_pp" not in window_fns:
         window_fns["minvis_pp"] = jax.jit(
             minvis_post_processing, static_argnames=("solver",)
@@ -352,14 +426,26 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
     images = _pad_to(images, n_windows * W_sz)
 
     if not offline:
+        # page the (Q, T, H4, W4) accumulation to host fp16 beyond the HBM
+        # budget — ViT-L Q=200 at 480p is ~10 GB for a 500-frame video (the
+        # reference's escape hatch is retry_if_cuda_oom -> CPU fp32,
+        # meta_architecture.py:704)
+        Him, Wim = images.shape[1:3]
+        Q = cfg.model.transformer_decoder.num_queries
+        mask_bytes = n_windows * W_sz * Q * (Him // 4) * (Wim // 4) * 4
+        page_to_host = mask_bytes > eval_mask_budget_bytes(cfg)
+
         logits_l, masks_l = [], []
         for i in range(n_windows):
             chunk = jnp.asarray(images[i * W_sz : (i + 1) * W_sz])
             lg, mk, state = win(params, chunk, state)
             logits_l.append(lg)
-            masks_l.append(mk)
+            masks_l.append(np.asarray(mk, np.float16) if page_to_host else mk)
         logits = jnp.concatenate(logits_l, axis=0)[:T]  # (T, Q, K+1)
-        masks = jnp.concatenate(masks_l, axis=1)[:, :T]  # (Q, T, H4, W4)
+        if page_to_host:
+            masks = np.concatenate(masks_l, axis=1)[:, :T]  # host fp16
+        else:
+            masks = jnp.concatenate(masks_l, axis=1)[:, :T]  # (Q, T, H4, W4)
         # reference online post_processing: raw logits mean over t, no aux
         # (:763-772, :704)
         return logits.mean(axis=0), masks, None
@@ -372,8 +458,9 @@ def _online_video(cfg, model, params, images, window_fns, W_sz):
     n_windows_total = n_windows
     Him, Wim = images.shape[1:3]
     mf_bytes_per_window = (Him // 4) * (Wim // 4) * 256 * 4 * W_sz  # ~stride-4 fp32
-    hbm_budget = float(os.environ.get("DVIS_OFFLINE_MF_BUDGET_GB", 4.0)) * 1e9
-    keep_on_device = n_windows_total * mf_bytes_per_window < hbm_budget
+    keep_on_device = (
+        n_windows_total * mf_bytes_per_window < eval_mask_budget_bytes(cfg)
+    )
 
     online_logits_l, inst_l, frame_l, mf_host = [], [], [], []
     for i in range(n_windows):

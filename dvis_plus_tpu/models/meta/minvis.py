@@ -91,6 +91,44 @@ def match_from_embds(
     return hungarian(cost)[0]
 
 
+def minvis_alignment(
+    pred_logits: jnp.ndarray,  # (T, Q, K+1)
+    pred_embds: jnp.ndarray,  # (T, Q, C)
+    valid: Optional[jnp.ndarray] = None,  # (T,) bool; False = padded frame
+    solver: str = "jv",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frame-by-frame embedding alignment WITHOUT touching the masks:
+    returns (mean logits (Q, K+1), per-frame permutations (T, Q)) where
+    ``perms[t]`` reorders frame t's queries into the aligned (frame-0) query
+    order — ``aligned_masks[t] = masks[t][perms[t]]``. Splitting the masks
+    out keeps the O(T·Q·H·W) tensor off the device during alignment so long
+    videos page it through host memory window by window."""
+
+    def step(carry, xs):
+        prev_embds = carry
+        logits, embds = xs
+        # matching runs against the PREVIOUS frame's aligned embds, so idx
+        # maps frame t's raw query order straight into the global order
+        idx = match_from_embds(prev_embds, embds, solver=solver)
+        return embds[idx], (logits[idx], idx)
+
+    Q = pred_embds.shape[1]
+    eye = jnp.arange(Q)
+    _, (logits_rest, perms_rest) = jax.lax.scan(
+        step,
+        pred_embds[0],
+        (pred_logits[1:], pred_embds[1:]),
+    )
+    logits_all = jnp.concatenate([pred_logits[:1], logits_rest], axis=0)
+    perms = jnp.concatenate([eye[None], perms_rest], axis=0)
+    if valid is None:
+        mean_logits = logits_all.mean(axis=0)
+    else:
+        w = valid.astype(logits_all.dtype)[:, None, None]
+        mean_logits = (logits_all * w).sum(axis=0) / jnp.maximum(w.sum(), 1.0)
+    return mean_logits, perms
+
+
 def minvis_post_processing(
     pred_logits: jnp.ndarray,  # (T, Q, K+1)
     pred_masks: jnp.ndarray,  # (T, Q, H, W)
@@ -103,26 +141,10 @@ def minvis_post_processing(
     the class mean runs over true frames only (alignment is a causal scan, so
     trailing pad frames never affect real frames). ``solver``: see
     :func:`match_from_embds` (jit callers must treat it as static)."""
-
-    def step(carry, xs):
-        prev_embds = carry
-        logits, masks, embds = xs
-        idx = match_from_embds(prev_embds, embds, solver=solver)
-        return embds[idx], (logits[idx], masks[idx])
-
-    init = pred_embds[0]
-    _, (logits_rest, masks_rest) = jax.lax.scan(
-        step,
-        init,
-        (pred_logits[1:], pred_masks[1:], pred_embds[1:]),
+    mean_logits, perms = minvis_alignment(pred_logits, pred_embds, valid, solver)
+    masks_all = jnp.take_along_axis(
+        pred_masks, perms[:, :, None, None], axis=1
     )
-    logits_all = jnp.concatenate([pred_logits[:1], logits_rest], axis=0)
-    masks_all = jnp.concatenate([pred_masks[:1], masks_rest], axis=0)
-    if valid is None:
-        mean_logits = logits_all.mean(axis=0)
-    else:
-        w = valid.astype(logits_all.dtype)[:, None, None]
-        mean_logits = (logits_all * w).sum(axis=0) / jnp.maximum(w.sum(), 1.0)
     return mean_logits, jnp.swapaxes(masks_all, 0, 1)
 
 
@@ -130,6 +152,48 @@ class VideoInference(NamedTuple):
     scores: jnp.ndarray  # (topk,)
     labels: jnp.ndarray  # (topk,)
     masks: jnp.ndarray  # (topk, T, H_out, W_out) bool
+
+
+def topk_select(
+    mask_cls: jnp.ndarray,  # (Q, K+1)
+    topk: int,
+    aux_pred_cls: Optional[jnp.ndarray] = None,  # (Q, K+1) online aux logits
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flat top-K over the (Q x K) score matrix (reference inference_video
+    :364-380). Returns (scores, labels, query indices), each (topk,).
+    ``aux_pred_cls``: element-wise max of the two softmaxes WITHOUT
+    renormalization (inference_video_vis :824-826)."""
+    Q, K1 = mask_cls.shape
+    K = K1 - 1
+    topk = min(topk, Q * K)  # small vocabularies / few queries
+    scores = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)[:, :-1]  # (Q, K)
+    if aux_pred_cls is not None:
+        aux = jax.nn.softmax(aux_pred_cls.astype(jnp.float32), axis=-1)[:, :-1]
+        scores = jnp.maximum(scores, aux)
+    flat = scores.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat, topk)
+    return top_scores, top_idx % K, top_idx // K
+
+
+def upsample_masks(
+    masks: jnp.ndarray,  # (N, t, H4, W4) mask logits
+    img_size: Tuple[int, int],
+    output_size: Tuple[int, int],
+    padded_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Two-stage upsampling (reference inference_video :381-398: resize to
+    the padded model input, crop the valid region, resize to the original
+    resolution); returns (N, t, out_h, out_w) bool (> 0 threshold)."""
+    N, t = masks.shape[:2]
+    masks = masks.astype(jnp.float32)
+    masks = jax.image.resize(
+        masks, (N, t, padded_size[0], padded_size[1]), method="bilinear"
+    )
+    masks = masks[:, :, : img_size[0], : img_size[1]]
+    masks = jax.image.resize(
+        masks, (N, t, output_size[0], output_size[1]), method="bilinear"
+    )
+    return masks > 0.0
 
 
 def inference_video(
@@ -142,29 +206,12 @@ def inference_video(
     aux_pred_cls: Optional[jnp.ndarray] = None,  # (Q, K+1) online aux logits
 ) -> VideoInference:
     """Top-K instance extraction + two-stage mask upsampling (reference
-    inference_video :364-401: resize to padded input, crop valid region,
-    resize to original resolution, threshold at 0). ``aux_pred_cls`` is the
-    offline arch's auxiliary online-tracker logits: element-wise max of the
-    two softmaxes WITHOUT renormalization (inference_video_vis :824-826)."""
-    Q, K1 = mask_cls.shape
-    K = K1 - 1
-    topk = min(topk, Q * K)  # small vocabularies / few queries
-    scores = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)[:, :-1]  # (Q, K)
-    if aux_pred_cls is not None:
-        aux = jax.nn.softmax(aux_pred_cls.astype(jnp.float32), axis=-1)[:, :-1]
-        scores = jnp.maximum(scores, aux)
-    flat = scores.reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat, topk)
-    top_labels = top_idx % K
-    top_queries = top_idx // K
-    masks = mask_pred[top_queries].astype(jnp.float32)  # (topk, T, H4, W4)
-
-    T = masks.shape[1]
-    masks = jax.image.resize(
-        masks, (topk, T, padded_size[0], padded_size[1]), method="bilinear"
+    inference_video :364-401). One-shot variant: materializes the full
+    (topk, T, out_h, out_w) tensor — fine for short clips/tests; the eval
+    drivers use :func:`dvis_plus_tpu.engine.inference.paged_inference_video`
+    which pages the upsampling per time chunk for real video lengths."""
+    top_scores, top_labels, top_queries = topk_select(mask_cls, topk, aux_pred_cls)
+    masks = upsample_masks(
+        mask_pred[top_queries], img_size, output_size, padded_size
     )
-    masks = masks[:, :, : img_size[0], : img_size[1]]
-    masks = jax.image.resize(
-        masks, (topk, T, output_size[0], output_size[1]), method="bilinear"
-    )
-    return VideoInference(scores=top_scores, labels=top_labels, masks=masks > 0.0)
+    return VideoInference(scores=top_scores, labels=top_labels, masks=masks)
