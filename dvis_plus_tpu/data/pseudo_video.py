@@ -171,11 +171,13 @@ class CocoPanopticPseudoVideoMapper(CocoPseudoVideoMapper):
                     "segmentation": {"_raw": mask},
                     "iscrowd": 0,
                 })
+        # records missing the images list carry height/width 0 — fall back
+        # to the decoded panoptic PNG's dimensions
         inst_record = {
             "file_name": record["file_names"][0],
             "image_id": record.get("video_id", 0),
-            "height": record.get("height", 0),
-            "width": record.get("width", 0),
+            "height": record.get("height", 0) or (pan.shape[0] if pan is not None else 0),
+            "width": record.get("width", 0) or (pan.shape[1] if pan is not None else 0),
             "annotations": anns,
         }
         return super().__call__(inst_record, seed=seed)

@@ -37,6 +37,7 @@ def ov_video_logits_masks_fn(
     text_classifier,
     num_templates: Sequence[int],
     category_overlapping,
+    void_index=None,  # private void row for this dataset (None = merged row)
 ):
     """Returns ``f(images) -> (fused_logits, masks)`` — the OV ensemble twin
     of ``engine.inference.video_logits_masks`` — for use by any task driver
@@ -56,14 +57,17 @@ def ov_video_logits_masks_fn(
     def f(images):
         if arch in ("minvis", "minvis_ov", "ctvis"):
             return _minvis_ov_video(
-                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
+                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha,
+                beta, void_index
             )
         if arch in ("dvis_online", "dvis_online_ov"):
             return _online_ov_video(
-                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
+                cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha,
+                beta, void_index
             )
         return _offline_ov_video(
-            cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta
+            cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha,
+            beta, void_index
         )
 
     return f
@@ -78,12 +82,17 @@ def run_ov_inference(
     text_classifier: np.ndarray,
     num_templates: Sequence[int],
     category_overlapping: np.ndarray,  # (K,) 1 = seen in training vocab
+    void_index=None,
 ):
-    from dvis_plus_tpu.models.meta.minvis import inference_video
+    from dvis_plus_tpu.engine.inference import (
+        paged_inference_video,
+        resolve_window_size,
+    )
 
     topk = cfg.test.max_num
     logits_masks = ov_video_logits_masks_fn(
-        cfg, model, params, text_classifier, num_templates, category_overlapping
+        cfg, model, params, text_classifier, num_templates, category_overlapping,
+        void_index=void_index,
     )
 
     for sample in loader:
@@ -92,20 +101,23 @@ def run_ov_inference(
         logits, masks = logits_masks(images)
         masks = masks[:, :T]
         h, w = [int(v) for v in sample["image_size"]]
-        res = inference_video(
+        # time-chunked top-K upsampling (inference.paged_inference_video):
+        # the (topk, T, out_h, out_w) tensor never materializes on device
+        scores, labels, out_masks = paged_inference_video(
             jnp.asarray(logits),
-            jnp.asarray(masks),
+            masks,
             img_size=(h, w),
             output_size=(int(sample["height"]), int(sample["width"])),
             padded_size=(H, W),
             topk=topk,
+            chunk=resolve_window_size(cfg),
         )
         evaluator.process(
             sample.get("video_id", 0),
             {
-                "pred_scores": np.asarray(res.scores).tolist(),
-                "pred_labels": np.asarray(res.labels).tolist(),
-                "pred_masks": np.asarray(res.masks),
+                "pred_scores": np.asarray(scores).tolist(),
+                "pred_labels": np.asarray(labels).tolist(),
+                "pred_masks": out_masks,
             },
         )
 
@@ -117,20 +129,22 @@ def _pad_to(images: np.ndarray, pad_T: int) -> np.ndarray:
     return np.concatenate([images, np.repeat(images[-1:], pad_T - T, axis=0)], 0)
 
 
-def _minvis_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta):
+def _minvis_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta, vi=None):
     """MinVIS_OV: per-frame ensemble BEFORE embed matching (reference
     :566-645 then post_processing)."""
     if "win" not in fns:
 
         @jax.jit
         def win(params, imgs):
-            out = model.apply(params, imgs, tc, nt)
+            out = model.apply(params, imgs, tc, nt, vi)
             pooled = model.apply(
                 params, out["clip_vis_dense"], out["pred_masks"],
                 method=type(model).pool_clip,
             )
             scale = model.apply(params, method=type(model).clip_logit_scale)
-            tc_full = model.apply(params, tc, method=type(model).full_classifier)
+            tc_full = model.apply(
+                params, tc, vi, method=type(model).full_classifier
+            )
             fused = ov_ensemble_inference(
                 out["pred_logits"], pooled, tc_full, nt, scale, overlap, alpha, beta
             )
@@ -142,21 +156,54 @@ def _minvis_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
     T = images.shape[0]
     n_windows = (T + W_sz - 1) // W_sz
     images = _pad_to(images, n_windows * W_sz)
+
+    # long videos: page window masks to host fp16 beyond the HBM budget and
+    # align host-side with the per-frame permutations (see
+    # inference._minvis_video)
+    from dvis_plus_tpu.engine.inference import (
+        _bucket_windows,
+        _pad_time_replicate,
+        eval_mask_budget_bytes,
+    )
+
+    Him, Wim = images.shape[1:3]
+    Q = cfg.model.transformer_decoder.num_queries
+    mask_bytes = n_windows * W_sz * Q * (Him // 4) * (Wim // 4) * 4
+    page_to_host = mask_bytes > eval_mask_budget_bytes(cfg)
+
     lg, mk, em = [], [], []
     for i in range(n_windows):
         a, b, c = win(params, jnp.asarray(images[i * W_sz : (i + 1) * W_sz]))
         lg.append(a)
-        mk.append(b)
+        mk.append(np.asarray(b, np.float16) if page_to_host else b)
         em.append(c)
-    from dvis_plus_tpu.models.meta.minvis import minvis_post_processing
-    from dvis_plus_tpu.engine.inference import _bucket_windows, _pad_time_replicate
 
     # length-bucketed post-processing (see inference._bucket_windows)
     Tb = _bucket_windows(n_windows) * W_sz
     logits = _pad_time_replicate(jnp.concatenate(lg, 0), T, Tb, 0)
-    masks = _pad_time_replicate(jnp.concatenate(mk, 0), T, Tb, 0)
     embds = _pad_time_replicate(jnp.concatenate(em, 0), T, Tb, 0)
     valid = jnp.arange(Tb) < T
+
+    if page_to_host:
+        from dvis_plus_tpu.models.meta.minvis import minvis_alignment
+
+        if "minvis_align" not in fns:
+            fns["minvis_align"] = jax.jit(
+                minvis_alignment, static_argnames=("solver",)
+            )
+        mean_logits, perms = fns["minvis_align"](
+            logits, embds, valid, solver=cfg.model.tracker.matcher_solver
+        )
+        perms = np.asarray(perms)
+        masks_host = np.concatenate(mk, axis=0)[:T]  # (T, Q, H4, W4) fp16
+        aligned = np.take_along_axis(
+            masks_host, perms[:T, :, None, None], axis=1
+        ).transpose(1, 0, 2, 3)
+        return mean_logits, aligned
+
+    from dvis_plus_tpu.models.meta.minvis import minvis_post_processing
+
+    masks = _pad_time_replicate(jnp.concatenate(mk, 0), T, Tb, 0)
     if "minvis_pp" not in fns:
         fns["minvis_pp"] = jax.jit(
             minvis_post_processing, static_argnames=("solver",)
@@ -167,7 +214,7 @@ def _minvis_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
     return mean_logits, aligned
 
 
-def _online_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta):
+def _online_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta, vi=None):
     """DVIS_online_OV: tracker logits ensemble per frame with CLIP pooling
     under the tracker's masks; carry streams across windows."""
     if "win" not in fns:
@@ -175,7 +222,7 @@ def _online_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
         @jax.jit
         def win(params, imgs, state):
             seg_out, track_out, new_state = model.apply(
-                params, imgs[None], tc, nt, state=state
+                params, imgs[None], tc, nt, state=state, void_index=vi
             )
             t_logits = track_out["pred_logits"][0]  # (Tw, Q, K+1)
             t_masks = track_out["pred_masks"][0]  # (Q, Tw, H4, W4)
@@ -185,7 +232,9 @@ def _online_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
                 method=type(model).pool_clip,
             )
             scale = model.apply(params, method=type(model).clip_logit_scale)
-            tc_full = model.apply(params, tc, method=type(model).full_classifier)
+            tc_full = model.apply(
+                params, tc, vi, method=type(model).full_classifier
+            )
             fused = ov_ensemble_inference(
                 t_logits, pooled, tc_full, nt, scale, overlap, alpha, beta
             )
@@ -201,13 +250,24 @@ def _online_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
     T = images.shape[0]
     n_windows = (T + W_sz - 1) // W_sz
     images = _pad_to(images, n_windows * W_sz)
+
+    from dvis_plus_tpu.engine.inference import eval_mask_budget_bytes
+
+    Him, Wim = images.shape[1:3]
+    Q = cfg.model.transformer_decoder.num_queries
+    mask_bytes = n_windows * W_sz * Q * (Him // 4) * (Wim // 4) * 4
+    page_to_host = mask_bytes > eval_mask_budget_bytes(cfg)
+
     lg, mk = [], []
     for i in range(n_windows):
         a, b, state = win(params, jnp.asarray(images[i * W_sz : (i + 1) * W_sz]), state)
         lg.append(a)
-        mk.append(b)
+        mk.append(np.asarray(b, np.float16) if page_to_host else b)
     logits = jnp.concatenate(lg, 0)[:T]  # (T, Q, K+1) fused log-probs
-    masks = jnp.concatenate(mk, 1)  # (Q, T', H4, W4)
+    if page_to_host:
+        masks = np.concatenate(mk, 1)  # (Q, T', H4, W4) host fp16
+    else:
+        masks = jnp.concatenate(mk, 1)  # (Q, T', H4, W4)
     # video-level logits = MEAN OF LOG-probs over the true frames (the
     # reference post_processing means the per-frame log-prob matrix,
     # meta_architecture_ov.py:1327 + :1482-1489 — a geometric mean of the
@@ -215,7 +275,7 @@ def _online_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alp
     return logits.astype(jnp.float32).mean(axis=0), masks
 
 
-def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta):
+def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, alpha, beta, vi=None):
     """DVIS_offline_OV: online streaming + OV refiner. The refiner's video
     -level in-vocab head uses window-accumulated mask pooling (embed_pass +
     ov_classify); out-of-vocab CLIP pooling runs per frame under the refined
@@ -225,7 +285,7 @@ def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, al
         @jax.jit
         def win(params, imgs, state):
             seg_out, track_out, new_state = model.apply(
-                params, imgs[None], tc, nt, state=state,
+                params, imgs[None], tc, nt, state=state, void_index=vi,
                 method=type(model).online_forward,
             )
             C = seg_out["pred_embds_without_norm"].shape[-1]
@@ -263,7 +323,9 @@ def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, al
                 params, clip_w, masks_tq, method=type(model).pool_clip
             )
             scale = model.apply(params, method=type(model).clip_logit_scale)
-            tc_full = model.apply(params, tc, method=type(model).full_classifier)
+            tc_full = model.apply(
+                params, tc, vi, method=type(model).full_classifier
+            )
             from dvis_plus_tpu.models.ov.heads import get_classification_logits
 
             out_logits = get_classification_logits(pooled, tc_full, scale, nt)
@@ -273,7 +335,7 @@ def _offline_ov_video(cfg, model, params, images, fns, W_sz, tc, nt, overlap, al
         def classify(params, fused, mf_sum, mf_cnt):
             pooled = (mf_sum / jnp.maximum(mf_cnt[:, None], 1e-8))[None]
             return model.apply(
-                params, fused, pooled.astype(fused.dtype), tc, nt,
+                params, fused, pooled.astype(fused.dtype), tc, nt, vi,
                 method=type(model).refine_ov_classify,
             )[0]
 

@@ -78,10 +78,13 @@ def build_optimizer(cfg: Config) -> optax.GradientTransformation:
     )
 
 
-def build_loss_fn(cfg: Config, model, text_classifier=None, num_templates=None) -> Callable:
+def build_loss_fn(cfg: Config, model, text_classifier=None, num_templates=None,
+                  void_index=None) -> Callable:
     """Returns loss_fn(params, batch, rng, step, memory) ->
     (total, (losses, new_memory)). OV archs close over the per-dataset
-    ``text_classifier`` / ``num_templates`` (static arrays built host-side)."""
+    ``text_classifier`` / ``num_templates`` (static arrays built host-side)
+    and the dataset's private ``void_index`` (reference
+    get_text_classifier_with_void trains row i for dataset i)."""
     arch = cfg.model.meta_architecture
     ccfg = criterion_config(cfg)
     half_iter = cfg.solver.max_iter // 2
@@ -100,7 +103,8 @@ def build_loss_fn(cfg: Config, model, text_classifier=None, num_templates=None) 
             def loss_fn(params, batch: Batch, rng, step, memory):
                 r1, r2 = jax.random.split(rng)
                 seg_out, track_out, _ = model.apply(
-                    params, batch.images, tc, nt, rng=r1, training=True
+                    params, batch.images, tc, nt, rng=r1, training=True,
+                    void_index=void_index,
                 )
                 losses = dvis_online_train_loss(
                     r2, seg_out, track_out, batch.targets, ccfg,
@@ -120,6 +124,7 @@ def build_loss_fn(cfg: Config, model, text_classifier=None, num_templates=None) 
                     batch.images.reshape((B * T,) + batch.images.shape[2:]),
                     tc,
                     nt,
+                    void_index,
                 )
                 losses = minvis_train_loss(rng, out, batch.targets, ccfg)
                 return sum(jax.tree.leaves(losses)), (losses, memory)
@@ -132,7 +137,8 @@ def build_loss_fn(cfg: Config, model, text_classifier=None, num_templates=None) 
             def loss_fn(params, batch: Batch, rng, step, memory):
                 r1, r2 = jax.random.split(rng)
                 _, track_out, refine_out, _ = model.apply(
-                    params, batch.images, tc, nt, rng=r1, training=True
+                    params, batch.images, tc, nt, rng=r1, training=True,
+                    void_index=void_index,
                 )
                 losses, _ = dvis_offline_train_loss(
                     r2, track_out, refine_out, batch.targets, ccfg,
@@ -311,11 +317,12 @@ def daq_curriculum_slice(cfg: Config, step: int, raw: Dict, rng) -> Dict:
     return out
 
 
-def build_train_step(cfg: Config, model, optimizer=None, text_classifier=None, num_templates=None):
+def build_train_step(cfg: Config, model, optimizer=None, text_classifier=None,
+                     num_templates=None, void_index=None):
     """Returns (train_step, init_state_fn). ``train_step`` is jit-compiled;
     donate the state for in-place HBM updates."""
     optimizer = optimizer or build_optimizer(cfg)
-    loss_fn = build_loss_fn(cfg, model, text_classifier, num_templates)
+    loss_fn = build_loss_fn(cfg, model, text_classifier, num_templates, void_index)
     is_daq = cfg.model.meta_architecture == "daq_online"
     daq_stage_switch = (
         (cfg.model.daq.steps or (cfg.solver.max_iter,))[0] if is_daq else None

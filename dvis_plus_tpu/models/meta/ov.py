@@ -76,21 +76,46 @@ class OVSegmenter(nn.Module):
             clip_embed_dim=self.cfg.ov.clip_embed_dim,
         )
 
-    def full_classifier(self, text_classifier: jnp.ndarray) -> jnp.ndarray:
-        """Append the normalized learned void rows (reference
-        ``torch.cat([text_classifier, F.normalize(void_embed)])``)."""
+    def full_classifier(
+        self, text_classifier: jnp.ndarray, void_index: Optional[int] = None
+    ) -> jnp.ndarray:
+        """Append the learned void row(s) (reference
+        ``get_text_classifier_with_void``, meta_architecture_ov.py:192-229).
+
+        - ``void_index=i``: dataset i's PRIVATE void row (row 0 = the base
+          ``void_embedding``, rows 1.. = ``additional_void_embedding``),
+          normalized, with gradient — the training path (:205-211).
+        - ``void_index=None``: no private row (unseen vocabulary at eval):
+          rows are detached and merged per ``ov.void_merge_mode`` (:213-226)
+          — 'coco' (default) = row 0, 'mean' = mean row, 'max' = all rows
+          kept as one max-ensembled template group.
+        """
         v = self.void_embedding
         v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
-        return jnp.concatenate([text_classifier, v.astype(text_classifier.dtype)], 0)
+        if void_index is not None:
+            rows = jax.lax.dynamic_slice_in_dim(v, int(void_index), 1, axis=0)
+        else:
+            v = jax.lax.stop_gradient(v)
+            mode = self.cfg.ov.void_merge_mode
+            if mode == "mean":
+                rows = v.mean(axis=0, keepdims=True)
+            elif mode == "max":
+                rows = v  # max-ensembled downstream via num_templates
+            elif mode == "coco":
+                rows = v[:1]
+            else:
+                raise NotImplementedError(mode)
+        return jnp.concatenate([text_classifier, rows.astype(text_classifier.dtype)], 0)
 
     def __call__(
         self,
         images: jnp.ndarray,  # (BT, H, W, 3)
         text_classifier: jnp.ndarray,
         num_templates: Sequence[int],
+        void_index: Optional[int] = None,
     ) -> Dict[str, Any]:
-        if text_classifier.shape[0] + self.void_embedding.shape[0] == sum(num_templates):
-            text_classifier = self.full_classifier(text_classifier)
+        if text_classifier.shape[0] < sum(num_templates):
+            text_classifier = self.full_classifier(text_classifier, void_index)
         compute_dtype = jnp.dtype(self.cfg.compute_dtype)
         features = self.backbone(images.astype(compute_dtype))
         # backbone is frozen (reference clip.py:33); also optimizer-masked
@@ -150,10 +175,12 @@ class DVISOnlineOV(nn.Module):
         state: Optional[TrackerState] = None,
         rng: Optional[jax.Array] = None,
         training: bool = False,
+        void_index: Optional[int] = None,
     ):
         B, T = images.shape[:2]
         seg_out = self.segmenter(
-            images.reshape((B * T,) + images.shape[2:]), text_classifier, num_templates
+            images.reshape((B * T,) + images.shape[2:]), text_classifier,
+            num_templates, void_index,
         )
         seg_out = jax.tree.map(jax.lax.stop_gradient, seg_out)
         C = seg_out["pred_embds"].shape[-1]
@@ -163,7 +190,7 @@ class DVISOnlineOV(nn.Module):
         mask_features = mf.reshape((B, T) + mf.shape[1:])
         tc_full = text_classifier
         if text_classifier.shape[0] < sum(num_templates):
-            tc_full = self.segmenter.full_classifier(text_classifier)
+            tc_full = self.segmenter.full_classifier(text_classifier, void_index)
         track_out, new_state = self.tracker(
             frame_embds,
             mask_features,
@@ -179,8 +206,8 @@ class DVISOnlineOV(nn.Module):
     def pool_clip(self, clip_dense, masks):
         return self.segmenter.pool_clip(clip_dense, masks)
 
-    def full_classifier(self, text_classifier):
-        return self.segmenter.full_classifier(text_classifier)
+    def full_classifier(self, text_classifier, void_index: Optional[int] = None):
+        return self.segmenter.full_classifier(text_classifier, void_index)
 
     def clip_logit_scale(self):
         return self.segmenter.clip_logit_scale()
@@ -215,10 +242,12 @@ class DVISOfflineOV(nn.Module):
         state: Optional[TrackerState] = None,
         rng: Optional[jax.Array] = None,
         training: bool = False,
+        void_index: Optional[int] = None,
     ):
         B, T = images.shape[:2]
         seg_out, track_out, new_state = self.online(
-            images, text_classifier, num_templates, state=state, rng=rng, training=False
+            images, text_classifier, num_templates, state=state, rng=rng,
+            training=False, void_index=void_index,
         )
         track_out = jax.tree.map(jax.lax.stop_gradient, track_out)
         C = seg_out["pred_embds_without_norm"].shape[-1]
@@ -227,7 +256,7 @@ class DVISOfflineOV(nn.Module):
         mask_features = mf.reshape((B, T) + mf.shape[1:])
         tc_full = text_classifier
         if text_classifier.shape[0] < sum(num_templates):
-            tc_full = self.online.full_classifier(text_classifier)
+            tc_full = self.online.full_classifier(text_classifier, void_index)
         refine_out = self.refiner(
             track_out["pred_embds"],
             frame_embds,
@@ -240,8 +269,12 @@ class DVISOfflineOV(nn.Module):
 
     # ---- windowed-inference pieces (HBM-bounded; engine/ov_inference.py) ----
 
-    def online_forward(self, images, text_classifier, num_templates, state=None):
-        return self.online(images, text_classifier, num_templates, state=state)
+    def online_forward(self, images, text_classifier, num_templates, state=None,
+                       void_index: Optional[int] = None):
+        return self.online(
+            images, text_classifier, num_templates, state=state,
+            void_index=void_index,
+        )
 
     def refine_embeds(self, instance_embeds, frame_embeds, time_mask=None):
         return self.refiner.embed_pass(instance_embeds, frame_embeds, time_mask=time_mask)
@@ -249,16 +282,17 @@ class DVISOfflineOV(nn.Module):
     def refine_mask_window(self, mask_embed, mask_features):
         return self.refiner.mask_window(mask_embed, mask_features)
 
-    def refine_ov_classify(self, fused, pooled, text_classifier, num_templates):
+    def refine_ov_classify(self, fused, pooled, text_classifier, num_templates,
+                           void_index: Optional[int] = None):
         if text_classifier.shape[0] < sum(num_templates):
-            text_classifier = self.online.full_classifier(text_classifier)
+            text_classifier = self.online.full_classifier(text_classifier, void_index)
         return self.refiner.ov_classify(fused, pooled, text_classifier, num_templates)
 
     def pool_clip(self, clip_dense, masks):
         return self.online.pool_clip(clip_dense, masks)
 
-    def full_classifier(self, text_classifier):
-        return self.online.full_classifier(text_classifier)
+    def full_classifier(self, text_classifier, void_index: Optional[int] = None):
+        return self.online.full_classifier(text_classifier, void_index)
 
     def clip_logit_scale(self):
         return self.online.clip_logit_scale()

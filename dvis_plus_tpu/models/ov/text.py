@@ -87,8 +87,11 @@ def build_text_classifier(
     state (reference void_embedding, meta_architecture_ov.py:152-157): by
     default no rows are appended here — the model's ``full_classifier``
     concatenates its normalized void params — but ``num_templates`` still
-    ends with the void-row count. Passing ``void_embeds`` appends explicit
-    rows instead (test fixtures)."""
+    ends with the void-row count ``num_void`` (the number of rows
+    ``full_classifier`` WILL append: 1 for a private/merged void row, the
+    full row count only under 'max' merge mode — reference
+    ``num_templates + [void_embed.shape[0]]`` :228). Passing ``void_embeds``
+    appends explicit rows instead (test fixtures)."""
     rows, num_templates = expand_prompts(classes, templates)
     embeds = []
     for prompts in rows:

@@ -298,12 +298,22 @@ def test_learned_void_embedding_in_graph():
     assert params["params"]["void_embedding"].shape == (1, 16)
 
     def loss(p):
-        out = model.apply(p, imgs, tc, nt)
+        # training passes the dataset's PRIVATE void row index (reference
+        # get_text_classifier_with_void :205-211); the merged eval row
+        # (void_index=None) is detached like the reference's .detach()
+        out = model.apply(p, imgs, tc, nt, 0)
         # push void prob down -> gradient must reach the void embedding
         return jnp.sum(jax.nn.softmax(out["pred_logits"], -1)[..., -1])
 
     g = jax.grad(loss)(params)
     assert float(jnp.abs(g["params"]["void_embedding"]).sum()) > 0
+
+    def loss_eval(p):
+        out = model.apply(p, imgs, tc, nt)  # no private row -> detached merge
+        return jnp.sum(jax.nn.softmax(out["pred_logits"], -1)[..., -1])
+
+    g2 = jax.grad(loss_eval)(params)
+    assert float(jnp.abs(g2["params"]["void_embedding"]).sum()) == 0
 
     out = model.apply(params, imgs, tc, nt)
     assert out["pred_logits"].shape[-1] == K + 1

@@ -172,13 +172,33 @@ def make_text_encoder(cfg, args):
     return encode_fn
 
 
-def build_classifier(cfg, dataset_name, encode_fn, void_embeds=None):
+def void_index_for(cfg, dataset_name):
+    """Which private void row a dataset uses (reference
+    ``get_text_classifier_with_void``: train dataset i -> row i; at eval the
+    ``test2train`` mapping picks the source dataset's row; otherwise None ->
+    the merged/detached void row per ``ov.void_merge_mode``)."""
+    train = list(cfg.datasets.train)
+    if dataset_name in train:
+        return train.index(dataset_name)
+    t2t = cfg.model.ov.test2train
+    if t2t and t2t in train:
+        return train.index(t2t)
+    return None
+
+
+def build_classifier(cfg, dataset_name, encode_fn, void_embeds=None, void_index=None):
     from dvis_plus_tpu.models.ov.text import TextClassifierCache
 
     classes = vocabulary_for(dataset_name)
-    cache = TextClassifierCache(encode_fn, num_void=cfg.model.ov.num_void_embeddings)
     # void rows are LEARNED model params appended in-graph (full_classifier);
-    # num_templates still ends with the void-row count
+    # num_templates ends with the count of rows full_classifier appends:
+    # exactly 1 (private row i, or the merged row) unless merge mode 'max'
+    # keeps every row as one max-ensembled group (reference :213-228)
+    if void_index is not None or cfg.model.ov.void_merge_mode != "max":
+        void_rows = 1
+    else:
+        void_rows = cfg.model.ov.num_void_embeddings
+    cache = TextClassifierCache(encode_fn, num_void=void_rows)
     tc, nt = cache.get(dataset_name, classes, void_embeds)
     return tc, nt, classes
 
@@ -202,10 +222,12 @@ def do_train(cfg, args, encode_fn):
     # classifier off each batch's source dataset (`name` field,
     # meta_architecture_ov.py:525-540) so the supervised mixture recipes
     # (COCO-panoptic + ytvis19/21 + ovis + VIPSeg) train each batch against
-    # its own vocabulary. Each classifier gets its own jitted step closure
-    # sharing one TrainState.
+    # its own vocabulary — and dataset i trains its own PRIVATE void row i
+    # (get_text_classifier_with_void :205-211). Each classifier gets its own
+    # jitted step closure sharing one TrainState.
     classifiers = [
-        build_classifier(cfg, name, encode_fn)[:2] for name in cfg.datasets.train
+        build_classifier(cfg, name, encode_fn, void_index=i)[:2]
+        for i, name in enumerate(cfg.datasets.train)
     ]
     tc, nt = classifiers[0]
 
@@ -226,9 +248,9 @@ def do_train(cfg, args, encode_fn):
 
     steps = []
     init_state = None
-    for tc_i, nt_i in classifiers:
+    for i, (tc_i, nt_i) in enumerate(classifiers):
         step_i, init_i = build_train_step(
-            cfg, model, text_classifier=tc_i, num_templates=nt_i
+            cfg, model, text_classifier=tc_i, num_templates=nt_i, void_index=i
         )
         steps.append(step_i)
         init_state = init_state or init_i
@@ -275,17 +297,23 @@ def do_eval(cfg, args, encode_fn):
     cfg.model.meta_architecture = _ov_arch(cfg)
     model = build_ov_model(cfg)
 
-    # training vocabulary defines the seen/unseen split (reference
-    # _set_class_information, meta_architecture_ov.py:330-416);
-    # ov.test2train overrides which training vocabulary a test dataset maps
-    # to (reference DATASETS.TEST2TRAIN, :260-270)
-    train_name = cfg.model.ov.test2train or cfg.datasets.train[0]
-    train_classes = vocabulary_for(train_name)
+    # the seen/unseen split is computed against the UNION of all training
+    # datasets' vocabularies (reference prepare_class_names_from_metadata
+    # called with all_train_metadatas, meta_architecture_ov.py:172-174) —
+    # a class seen in ANY training dataset ensembles with alpha, not beta
+    train_classes = []
+    for name in cfg.datasets.train:
+        train_classes += vocabulary_for(name)
 
     results = {}
     params = None
     for dataset_name in cfg.datasets.test:
-        tc, nt, test_classes = build_classifier(cfg, dataset_name, encode_fn)
+        # which private void row this dataset evaluates with (test2train /
+        # exact-name match; else the merged 'coco' row)
+        vi = void_index_for(cfg, dataset_name)
+        tc, nt, test_classes = build_classifier(
+            cfg, dataset_name, encode_fn, void_index=vi
+        )
         overlap = category_overlapping_mask(train_classes, test_classes)
         if params is None:
             T = cfg.test.window_size
@@ -323,7 +351,9 @@ def do_eval(cfg, args, encode_fn):
             )
 
             def runner(p, ld, ev):
-                fn = ov_video_logits_masks_fn(cfg, model, p, tc, nt, overlap)
+                fn = ov_video_logits_masks_fn(
+                    cfg, model, p, tc, nt, overlap, void_index=vi
+                )
                 run_vps_inference(cfg, model, p, ld, ev, n_thing, logits_masks_fn=fn)
 
         elif task == "vss":
@@ -338,7 +368,9 @@ def do_eval(cfg, args, encode_fn):
             )
 
             def runner(p, ld, ev):
-                fn = ov_video_logits_masks_fn(cfg, model, p, tc, nt, overlap)
+                fn = ov_video_logits_masks_fn(
+                    cfg, model, p, tc, nt, overlap, void_index=vi
+                )
                 run_vss_inference(cfg, model, p, ld, ev, logits_masks_fn=fn)
 
         else:
@@ -353,7 +385,9 @@ def do_eval(cfg, args, encode_fn):
             )
 
             def runner(p, ld, ev):
-                run_ov_inference(cfg, model, p, ld, ev, tc, nt, overlap)
+                run_ov_inference(
+                    cfg, model, p, ld, ev, tc, nt, overlap, void_index=vi
+                )
 
         run_device_parallel(
             cfg,
