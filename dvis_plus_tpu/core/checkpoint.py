@@ -333,8 +333,8 @@ def convert_torch_vit_adapter(
     / ``up`` / ``norm1..4`` / ``level_embed`` (adapter.py:416-470).
 
     Note: the reference's ConvFFN shares ONE depthwise conv across the three
-    pyramid levels; our ConvFFN instantiates one per level (static shapes), so
-    the torch weights are replicated into dw_0/dw_1/dw_2."""
+    pyramid levels (adapter.py:83-99); ours mirrors that with a single
+    ``dwconv`` applied per level grid."""
     sd = {}
     for k, v in state_dict.items():
         if not k.startswith(prefix):
@@ -406,12 +406,11 @@ def convert_torch_vit_adapter(
             "attn": deform_attn(f"{pre}.attn"),
         }
         if f"{pre}.ffn.fc1.weight" in sd:
-            dw = _dwconv(sd, f"{pre}.ffn.dwconv.dwconv")
             out["ffn_norm"] = _ln(sd, f"{pre}.ffn_norm")
             out["ffn"] = {
                 "fc1": _dense(sd, f"{pre}.ffn.fc1"),
                 "fc2": _dense(sd, f"{pre}.ffn.fc2"),
-                "dw_0": dw, "dw_1": dw, "dw_2": dw,
+                "dwconv": _dwconv(sd, f"{pre}.ffn.dwconv.dwconv"),
             }
         return out
 
@@ -436,7 +435,11 @@ def convert_torch_vit_adapter(
             extra_j += 1
 
     # --- heads ---
-    up_w = sd["up.weight"]  # torch ConvTranspose2d (C_in, C_out, 2, 2)
+    # torch ConvTranspose2d stores (C_in, C_out, kH, kW) and places the tap
+    # (kh, kw) of input pixel (i, j) at output (s*i+kh, s*j+kw); flax's
+    # ConvTranspose (lax.conv_transpose, transpose_kernel=False) places the
+    # spatially MIRRORED tap there, so the kernel must be flipped on kH/kW.
+    up_w = sd["up.weight"][:, :, ::-1, ::-1]
     p["up"] = {"kernel": np.transpose(up_w, (2, 3, 0, 1)), "bias": sd["up.bias"]}
     for n in (1, 2, 3, 4):
         p[f"norm{n}"] = _bn(sd, f"norm{n}")

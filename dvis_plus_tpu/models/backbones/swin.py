@@ -189,9 +189,12 @@ class SwinBlock(nn.Module):
         # window size stays FIXED for any map size (param shapes must be
         # static across input sizes; small maps are padded up to one window,
         # matching the reference detection-Swin port which never clamps) —
-        # only the cyclic shift is disabled when one window covers the map
+        # and the cyclic shift stays ON even when one padded window covers
+        # the map (reference swin.py:258-262 rolls unconditionally; the
+        # timm-style shift_size=0 clamp diverges on deep stages of small
+        # inputs — caught by test_backbone_reference_parity res4/res5)
         ws = self.window_size
-        shift = self.shift_size if ws < min(H, W) else 0
+        shift = self.shift_size
         shortcut = x
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)

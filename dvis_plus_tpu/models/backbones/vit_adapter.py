@@ -30,6 +30,35 @@ from typing import Dict, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _torch_bicubic_matrix(out_size: int, grid: int) -> np.ndarray:
+    """Interpolation matrix matching ``F.interpolate(mode='bicubic',
+    align_corners=False, scale_factor=(out+0.1)/grid)`` — DINOv2's pos-embed
+    resampling (reference backbones.py:179-203, incl. the +0.1 fudge). Torch's
+    cubic kernel uses A=-0.75; ``jax.image.resize`` uses the Keys A=-0.5
+    kernel, a real numeric difference, so the resample is expressed as a
+    host-precomputed (out, grid) matrix instead (also the faster XLA form:
+    one matmul per axis, no gathers)."""
+    A = -0.75
+    scale_factor = (out_size + 0.1) / grid
+
+    def k1(x):  # |x| <= 1
+        return ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0
+
+    def k2(x):  # 1 < |x| < 2
+        return ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A
+
+    M = np.zeros((out_size, grid), np.float64)
+    for i in range(out_size):
+        src = (i + 0.5) / scale_factor - 0.5
+        f = math.floor(src)
+        t = src - f
+        for k, w in enumerate((k2(t + 1.0), k1(t), k1(1.0 - t), k2(2.0 - t))):
+            g = min(max(f - 1 + k, 0), grid - 1)  # border replication
+            M[i, g] += w
+    return M.astype(np.float32)
 
 from dvis_plus_tpu.core.config import BackboneConfig
 from dvis_plus_tpu.models.backbones.resnet import FrozenBN
@@ -110,11 +139,16 @@ class DinoViT(nn.Module):
         y = self.patch_embed(x)
         B, Hp, Wp, C = y.shape
         tokens = y.reshape(B, Hp * Wp, C)
-        # interpolate the pretraining pos grid to (Hp, Wp)
-        pe = self.pos_embed[:, 1:].reshape(
-            1, self.pretrain_grid, self.pretrain_grid, C
-        )
-        pe = jax.image.resize(pe, (1, Hp, Wp, C), method="bicubic").reshape(1, Hp * Wp, C)
+        # interpolate the pretraining pos grid to (Hp, Wp) with torch-exact
+        # bicubic (reference interpolate_pos_encoding, backbones.py:179-203)
+        G = self.pretrain_grid
+        pe = self.pos_embed[:, 1:].reshape(G, G, C).astype(jnp.float32)
+        if (Hp, Wp) != (G, G):
+            Mh = jnp.asarray(_torch_bicubic_matrix(Hp, G))
+            Mw = jnp.asarray(_torch_bicubic_matrix(Wp, G))
+            pe = jnp.einsum("hg,gvc->hvc", Mh, pe)
+            pe = jnp.einsum("wv,hvc->hwc", Mw, pe)
+        pe = pe.reshape(1, Hp * Wp, C)
         tokens = tokens + pe.astype(tokens.dtype)
         cls = jnp.broadcast_to(
             self.cls_token + self.pos_embed[:, :1], (B, 1, C)
@@ -161,15 +195,21 @@ class DeformAttnModule(nn.Module):
     num_heads: int = 16
     n_points: int = 4
     n_levels: int = 1
+    # accepted for config parity with the adapter's deform_ratio arg, but a
+    # deliberate NO-OP on shapes: the reference's MSDeformAttn takes `ratio`
+    # and ignores it — value_proj is Linear(d_model, d_model) unconditionally
+    # (pixel_decoder/ops/modules/ms_deform_attn.py:35,61) — so zoo ViT-L
+    # checkpoints carry full-width value projections despite deform_ratio=0.5
+    # in the adapter config (adapter.py:384). Verified by
+    # test_backbone_reference_parity.py.
     ratio: float = 1.0
 
     @nn.compact
     def __call__(self, query, reference_points, feat, spatial_shapes):
         B, Lq, C = query.shape
         H = self.num_heads
-        val_dim = int(C * self.ratio)
-        value = nn.Dense(val_dim, dtype=query.dtype, name="value_proj")(feat)
-        value = value.reshape(B, feat.shape[1], H, val_dim // H)
+        value = nn.Dense(C, dtype=query.dtype, name="value_proj")(feat)
+        value = value.reshape(B, feat.shape[1], H, C // H)
         offsets = nn.Dense(
             H * self.n_levels * self.n_points * 2,
             kernel_init=nn.initializers.zeros,
@@ -206,16 +246,17 @@ class ConvFFN(nn.Module):
         B = x.shape[0]
         d = x.dtype
         y = nn.Dense(self.hidden, dtype=d, name="fc1")(x)
-        # depthwise conv applied per level
+        # ONE depthwise conv shared across all level grids (reference DWConv
+        # holds a single nn.Conv2d applied to x1/x2/x3, adapter.py:83-99)
+        dw = nn.Conv(
+            self.hidden, (3, 3), padding=[(1, 1), (1, 1)],
+            feature_group_count=self.hidden, dtype=d, name="dwconv",
+        )
         parts = []
         start = 0
-        for li, (h, w) in enumerate(self.shapes):
+        for (h, w) in self.shapes:
             seg = y[:, start : start + h * w].reshape(B, h, w, self.hidden)
-            seg = nn.Conv(
-                self.hidden, (3, 3), padding=[(1, 1), (1, 1)],
-                feature_group_count=self.hidden, dtype=d, name=f"dw_{li}",
-            )(seg)
-            parts.append(seg.reshape(B, h * w, self.hidden))
+            parts.append(dw(seg).reshape(B, h * w, self.hidden))
             start += h * w
         y = jnp.concatenate(parts, axis=1)
         y = nn.gelu(y, approximate=False)
@@ -228,12 +269,14 @@ class Extractor(nn.Module):
     n_points: int = 4
     with_cffn: bool = True
     cffn_ratio: float = 0.25
+    deform_ratio: float = 1.0  # value-proj width ratio (reference vitl: 0.5)
     shapes: Tuple[Tuple[int, int], ...] = ()
 
     @nn.compact
     def __call__(self, query, reference_points, feat, feat_shape):
         attn = DeformAttnModule(
-            self.dim, self.num_heads, self.n_points, n_levels=1, name="attn"
+            self.dim, self.num_heads, self.n_points, n_levels=1,
+            ratio=self.deform_ratio, name="attn"
         )(
             nn.LayerNorm(dtype=query.dtype, name="query_norm")(query),
             reference_points,
@@ -253,11 +296,13 @@ class Injector(nn.Module):
     dim: int
     num_heads: int
     n_points: int = 4
+    deform_ratio: float = 1.0
 
     @nn.compact
     def __call__(self, query, reference_points, feat, shapes):
         attn = DeformAttnModule(
-            self.dim, self.num_heads, self.n_points, n_levels=len(shapes), name="attn"
+            self.dim, self.num_heads, self.n_points, n_levels=len(shapes),
+            ratio=self.deform_ratio, name="attn"
         )(
             nn.LayerNorm(dtype=query.dtype, name="query_norm")(query),
             reference_points,
@@ -279,7 +324,11 @@ class ViTAdapter(nn.Module):
     deform_num_heads: int = 16
     n_points: int = 4
     interaction_indexes: Tuple[Tuple[int, int], ...] = ((0, 5), (6, 11), (12, 17), (18, 23))
-    with_cffn: bool = False
+    # reference vitl/vitb adapter args (adapter.py:368-405): ConvFFN on, value
+    # projections at half width
+    with_cffn: bool = True
+    cffn_ratio: float = 0.25
+    deform_ratio: float = 0.5
     add_vit_feature: bool = True
     use_injector: bool = False  # shipped config uses the Efficient (no-inject) blocks
     pretrain_grid: int = 37  # DINOv2 518/14 pos-embed grid
@@ -328,18 +377,21 @@ class ViTAdapter(nn.Module):
             if self.use_injector:
                 tokens = Injector(
                     self.embed_dim, self.deform_num_heads, self.n_points,
-                    name=f"injector_{i}",
+                    deform_ratio=self.deform_ratio, name=f"injector_{i}",
                 )(tokens, jnp.broadcast_to(refs_x, (refs_x.shape[0], 3, 2)), c, shapes)
             tokens, cls = vit.run_blocks(tokens, cls, s, e + 1)
             c = Extractor(
                 self.embed_dim, self.deform_num_heads, self.n_points,
-                with_cffn=self.with_cffn, shapes=shapes, name=f"extractor_{i}",
+                with_cffn=self.with_cffn, cffn_ratio=self.cffn_ratio,
+                deform_ratio=self.deform_ratio, shapes=shapes,
+                name=f"extractor_{i}",
             )(c, refs_c1, tokens, (Hp, Wp))
             if i == n_inter - 1:
                 for j in range(2):  # extra extractors on the last interaction
                     c = Extractor(
                         self.embed_dim, self.deform_num_heads, self.n_points,
-                        with_cffn=self.with_cffn, shapes=shapes,
+                        with_cffn=self.with_cffn, cffn_ratio=self.cffn_ratio,
+                        deform_ratio=self.deform_ratio, shapes=shapes,
                         name=f"extra_extractor_{j}",
                     )(c, refs_c1, tokens, (Hp, Wp))
             outs.append(tokens.reshape(B, Hp, Wp, self.embed_dim))
@@ -356,7 +408,11 @@ class ViTAdapter(nn.Module):
 
         if self.add_vit_feature:
             x1, x2, x3, x4 = outs[:4] if len(outs) >= 4 else (outs + [outs[-1]] * 4)[:4]
-            up = lambda t, s: jax.image.resize(t, (B,) + s + (self.embed_dim,), "bilinear")
+            # torch F.interpolate(bilinear, align_corners=False) never
+            # antialiases — matters for the x4 0.5x downsample (adapter.py:576)
+            up = lambda t, s: jax.image.resize(
+                t, (B,) + s + (self.embed_dim,), "bilinear", antialias=False
+            )
             c1o = c1o + up(x1, c1o.shape[1:3])
             c2o = c2o + up(x2, shapes[0])
             c3o = c3o + x3
@@ -383,6 +439,7 @@ def build_vit_adapter(cfg: BackboneConfig, dtype=None) -> ViTAdapter:
         n_points=cfg.vit_n_points,
         interaction_indexes=cfg.vit_interaction_indexes,
         with_cffn=cfg.vit_with_cffn,
+        deform_ratio=cfg.vit_deform_ratio,
         attn_impl="flash" if cfg.vit_flash_attention else "dense",
         out_features=cfg.out_features,
     )

@@ -256,14 +256,19 @@ def test_vit_adapter_full_converter_structure():
         sd[f"backbone.spm.{fc}.weight"] = t(dim, cin, 1, 1)
         sd[f"backbone.spm.{fc}.bias"] = t(dim)
 
+    # reference vitl adapter args: deform_ratio=0.5 value projections
+    # (adapter.py:368-380 -> ms_deform_attn.py ratio), ConvFFN on
+    vdim = dim // 2
+    hidden = int(dim * 0.25)
+
     def deform(pre, n_levels):
         sd.update({
-            f"{pre}.value_proj.weight": t(dim, dim), f"{pre}.value_proj.bias": t(dim),
+            f"{pre}.value_proj.weight": t(vdim, dim), f"{pre}.value_proj.bias": t(vdim),
             f"{pre}.sampling_offsets.weight": t(heads * n_levels * 4 * 2, dim),
             f"{pre}.sampling_offsets.bias": t(heads * n_levels * 4 * 2),
             f"{pre}.attention_weights.weight": t(heads * n_levels * 4, dim),
             f"{pre}.attention_weights.bias": t(heads * n_levels * 4),
-            f"{pre}.output_proj.weight": t(dim, dim), f"{pre}.output_proj.bias": t(dim),
+            f"{pre}.output_proj.weight": t(dim, vdim), f"{pre}.output_proj.bias": t(dim),
         })
 
     def norms(pre, names):
@@ -271,18 +276,29 @@ def test_vit_adapter_full_converter_structure():
             sd[f"{pre}.{n}.weight"] = t(dim)
             sd[f"{pre}.{n}.bias"] = t(dim)
 
-    # Efficient interaction blocks (extractor only, no cffn) matching the
-    # shipped configs (adapter.py:245-262; our defaults use_injector=False,
-    # with_cffn=False)
+    def cffn(pre):
+        sd.update({
+            f"{pre}.ffn.fc1.weight": t(hidden, dim), f"{pre}.ffn.fc1.bias": t(hidden),
+            f"{pre}.ffn.dwconv.dwconv.weight": t(hidden, 1, 3, 3),
+            f"{pre}.ffn.dwconv.dwconv.bias": t(hidden),
+            f"{pre}.ffn.fc2.weight": t(dim, hidden), f"{pre}.ffn.fc2.bias": t(dim),
+            f"{pre}.ffn_norm.weight": t(dim), f"{pre}.ffn_norm.bias": t(dim),
+        })
+
+    # Efficient interaction blocks (extractor only, no injector) matching the
+    # shipped configs (adapter.py:245-262 + vitl args: with_cffn=True,
+    # deform_ratio=0.5)
     for i in range(4):
         pre = f"backbone.interactions.{i}"
         norms(f"{pre}.extractor", ["query_norm", "feat_norm"])
         deform(f"{pre}.extractor.attn", 1)
+        cffn(f"{pre}.extractor")
         if i == 3:  # extra extractors on the last interaction
             for j in range(2):
                 e = f"{pre}.extra_extractors.{j}"
                 norms(e, ["query_norm", "feat_norm"])
                 deform(f"{e}.attn", 1)
+                cffn(e)
 
     converted = convert_torch_vit_adapter(sd, depth=depth, num_heads=heads)
 

@@ -275,11 +275,59 @@ def install_shims() -> None:
     d2_backbone = _mk_module("detectron2.modeling.backbone")
     d2_backbone.Backbone = torch.nn.Module
     d2_modeling.backbone = d2_backbone
+    # swin.py / adapter.py import these from detectron2.modeling directly
+    d2_modeling.Backbone = torch.nn.Module
+    d2_modeling.ShapeSpec = ShapeSpec
 
     d2_structures = _mk_module("detectron2.structures")
     for _n in ("Boxes", "ImageList", "Instances", "BitMasks"):
         setattr(d2_structures, _n, type(_n, (), {}))
     d2.structures = d2_structures
+
+
+def install_timm_shim() -> None:
+    """``timm.models.layers`` stand-ins — timm isn't installed; the reference
+    ``swin.py`` / ``adapter.py`` only use these three symbols (DropPath,
+    to_2tuple, trunc_normal_), all with standard definitions."""
+    if "timm" in sys.modules and getattr(
+        sys.modules["timm"], "__dvis_tpu_shim__", False
+    ):
+        return
+    import collections.abc
+
+    import torch
+
+    timm = _mk_module("timm")
+    timm.__dvis_tpu_shim__ = True
+    timm_models = _mk_module("timm.models")
+    timm_layers = _mk_module("timm.models.layers")
+
+    def to_2tuple(x):
+        if isinstance(x, collections.abc.Iterable) and not isinstance(x, str):
+            return tuple(x)
+        return (x, x)
+
+    class DropPath(torch.nn.Module):
+        """Per-sample stochastic depth (identity in eval mode — the parity
+        oracles run eval-only, so only the identity path is exercised)."""
+
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob or 0.0
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1.0 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = x.new_empty(shape).bernoulli_(keep)
+            return x.div(keep) * mask
+
+    timm_layers.DropPath = DropPath
+    timm_layers.to_2tuple = to_2tuple
+    timm_layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    timm_models.layers = timm_layers
+    timm.models = timm_models
 
 
 def _ensure_pkg(fullname: str, path: str) -> None:
@@ -353,6 +401,66 @@ def load_dvis_plus_oracles():
         "TemporalRefiner": refiner_mod.TemporalRefiner,
         "ShapeSpec": sys.modules["detectron2.layers"].ShapeSpec,
     }
+
+
+def load_swin_oracle():
+    """Reference Swin backbone (mask2former/modeling/backbone/swin.py:498-770)
+    as a torch oracle. Returns the plain ``SwinTransformer`` class — the
+    ``D2SwinTransformer`` wrapper only reads cfg and filters out_features; the
+    numeric content (incl. the per-stage ``norm{i}`` output norms) is all in
+    ``SwinTransformer.forward``."""
+    install_shims()
+    install_timm_shim()
+    mod = load_ref_module("DVIS_Plus", "mask2former.modeling.backbone.swin")
+    return mod.SwinTransformer
+
+
+def load_vit_adapter_oracle():
+    """Reference DinoV2 ViT-Adapter (backbones_vitAdapter/adapter.py:416-651 +
+    backbones.py DinoVisionTransformer) as torch oracles. The adapter's
+    MSDeformAttn falls back to the pure-torch core on CPU
+    (ops/functions/ms_deform_attn_func.py:52-72). Returns
+    (DinoVisionTransformer, DinoV2ViTAdapter)."""
+    install_shims()
+    install_timm_shim()
+    repo = "DVIS_Plus"
+
+    # deformable-attn deps first (adapter.py imports MSDeformAttn)
+    func_mod = load_ref_module(
+        repo, "mask2former.modeling.pixel_decoder.ops.functions.ms_deform_attn_func"
+    )
+    funcs_pkg = sys.modules["mask2former.modeling.pixel_decoder.ops.functions"]
+    funcs_pkg.MSDeformAttnFunction = func_mod.MSDeformAttnFunction
+    funcs_pkg.ms_deform_attn_func = func_mod
+    msda_mod = load_ref_module(
+        repo, "mask2former.modeling.pixel_decoder.ops.modules.ms_deform_attn"
+    )
+    mods_pkg = sys.modules["mask2former.modeling.pixel_decoder.ops.modules"]
+    mods_pkg.MSDeformAttn = msda_mod.MSDeformAttn
+
+    # dinov2 layers: hand-wire the hollow `layers` package with the names
+    # backbones.py re-imports (its real __init__ also pulls dino_head, which
+    # we don't need)
+    lp = "mask2former.modeling.backbones_vitAdapter.layers"
+    wires = {}
+    for leaf, names in (
+        ("mlp", ("Mlp",)),
+        ("patch_embed", ("PatchEmbed",)),
+        ("swiglu_ffn", ("SwiGLUFFN", "SwiGLUFFNFused")),
+        ("attention", ("MemEffAttention",)),
+        ("block", ("NestedTensorBlock",)),
+    ):
+        m = load_ref_module(repo, f"{lp}.{leaf}")
+        for n in names:
+            wires[n] = getattr(m, n)
+    layers_pkg = sys.modules[lp]
+    for n, v in wires.items():
+        setattr(layers_pkg, n, v)
+
+    bk_mod = load_ref_module(repo, "mask2former.modeling.backbones_vitAdapter.backbones")
+    sys.modules["mask2former.modeling.backbones_vitAdapter"].backbones = bk_mod
+    adapter_mod = load_ref_module(repo, "mask2former.modeling.backbones_vitAdapter.adapter")
+    return bk_mod.DinoVisionTransformer, adapter_mod.DinoV2ViTAdapter
 
 
 def patch_cuda_to_cpu() -> None:
@@ -447,6 +555,68 @@ def load_meta_architecture_oracle():
     sys.modules["mask2former_video.utils"].memory = mem_mod
     load_ref_module(repo, "dvis_Plus.utils")
     return load_ref_module(repo, "dvis_Plus.meta_architecture")
+
+
+def patch_cuda_factories() -> None:
+    """Redirect ``device='cuda'`` in torch factory calls to CPU.
+
+    The reference ``TrainTracklet.__init__`` allocates
+    ``torch.zeros((256,), device='cuda')`` unconditionally (ctvis.py:461) —
+    on the installed CPU torch that raises before any numerics run."""
+    import torch
+
+    for name in ("zeros", "ones", "empty", "full", "arange", "tensor"):
+        fn = getattr(torch, name)
+        if getattr(fn, "__dvis_tpu_cuda_patch__", False):
+            continue
+
+        def make(fn):
+            def wrapped(*args, **kwargs):
+                dev = kwargs.get("device")
+                if isinstance(dev, str) and dev.startswith("cuda"):
+                    kwargs["device"] = "cpu"
+                return fn(*args, **kwargs)
+
+            wrapped.__dvis_tpu_cuda_patch__ = True
+            return wrapped
+
+        setattr(torch, name, make(fn))
+
+
+def load_cl_oracles():
+    """Import the reference contrastive/ReID training-loss surfaces as
+    numeric oracles (VERDICT r3 missing #2):
+
+    - ``get_cl_loss_ref`` + ``loss_reid`` (the online tracker's ReID CL,
+      dvis_Plus/meta_architecture.py:981-1064 + utils.py:51-94)
+    - ``get_cl_loss_with_memory`` + ``Outputs_Memory_PerClasses`` (the
+      offline refiner's class-memory CL, meta_architecture.py:1502-1579 +
+      utils.py:4-49)
+    - ``CTCLPlugin`` / ``TrainTracklet`` / ``SimpleTrainMemory`` (the CTVIS
+      segmenter-finetuning CL, ctvis.py:451-799)
+    - ``Noiser`` (training-time noise modes, noiser.py:6-77)
+
+    All pure torch/numpy/scipy; randomness is pinned by the caller."""
+    meta_mod = load_meta_architecture_oracle()
+    patch_cuda_factories()
+    repo = "DVIS_Plus"
+    # ctvis.py additionally imports the IMAGE matcher
+    img_matcher_mod = load_ref_module(repo, "mask2former.modeling.matcher")
+    sys.modules["mask2former.modeling"].matcher = img_matcher_mod
+    utils_mod = sys.modules["dvis_Plus.utils"]
+    noiser_mod = load_ref_module(repo, "dvis_Plus.noiser")
+    ctvis_mod = load_ref_module(repo, "dvis_Plus.ctvis")
+    return {
+        "meta_architecture": meta_mod,
+        "loss_reid": utils_mod.loss_reid,
+        "Outputs_Memory_PerClasses": utils_mod.Outputs_Memory_PerClasses,
+        "Noiser": noiser_mod.Noiser,
+        "noiser_module": noiser_mod,
+        "ctvis_module": ctvis_mod,
+        "CTCLPlugin": ctvis_mod.CTCLPlugin,
+        "TrainTracklet": ctvis_mod.TrainTracklet,
+        "SimpleTrainMemory": ctvis_mod.SimpleTrainMemory,
+    }
 
 
 def load_ov_oracles():
