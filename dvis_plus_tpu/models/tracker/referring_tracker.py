@@ -72,6 +72,31 @@ def match_embds(ref: jnp.ndarray, cur: jnp.ndarray, solver: str = "auction") -> 
     return auction_lap(C.T.astype(jnp.float32))  # (Q_ref,) -> current index
 
 
+def _wa_compose(cur_no_norm: jnp.ndarray, perm: jnp.ndarray, w: jnp.ndarray):
+    """Pure 'wa' composition given a shuffle ``perm`` (Q,) and weights ``w``
+    (Q, 1): init = cur*w + cur[perm]*(1-w); returned index switches to the
+    shuffle where w < 0.5 (noiser.py:18-28)."""
+    Q = cur_no_norm.shape[0]
+    noise_init = cur_no_norm * w.astype(cur_no_norm.dtype) + cur_no_norm[perm] * (
+        1.0 - w.astype(cur_no_norm.dtype)
+    )
+    ret_idx = jnp.where(w[:, 0] < 0.5, perm, jnp.arange(Q))
+    return ret_idx, noise_init
+
+
+def _cc_compose(cur_no_norm: jnp.ndarray, perm: jnp.ndarray, split: jnp.ndarray):
+    """Pure 'cc' composition given a shuffle ``perm`` (Q,) and per-query
+    channel split points ``split`` (Q, 1): the first split_i channels come
+    from the query itself, the rest from the shuffled one; the returned
+    index switches to the shuffle where split < C//2 (noiser.py:30-41)."""
+    Q, C = cur_no_norm.shape
+    chan = jnp.arange(C)[None, :]
+    keep = (chan < split).astype(cur_no_norm.dtype)
+    mixed = cur_no_norm * keep + cur_no_norm[perm] * (1.0 - keep)
+    ret_idx = jnp.where(split[:, 0] < C // 2, perm, jnp.arange(Q))
+    return ret_idx, mixed
+
+
 def _rs_noise(rng: jax.Array, cur_no_norm: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Random-shuffle noise (noiser.py:12-16)."""
     perm = jax.random.permutation(rng, cur_no_norm.shape[0])
@@ -83,10 +108,8 @@ def _wa_noise(rng: jax.Array, cur_no_norm: jnp.ndarray) -> Tuple[jnp.ndarray, jn
     Q = cur_no_norm.shape[0]
     k1, k2 = jax.random.split(rng)
     perm = jax.random.permutation(k1, Q)
-    w = jax.random.uniform(k2, (Q, 1), dtype=jnp.float32).astype(cur_no_norm.dtype)
-    noise_init = cur_no_norm * w + cur_no_norm[perm] * (1.0 - w)
-    ret_idx = jnp.where(w[:, 0] < 0.5, perm, jnp.arange(Q))
-    return ret_idx, noise_init
+    w = jax.random.uniform(k2, (Q, 1), dtype=jnp.float32)
+    return _wa_compose(cur_no_norm, perm, w)
 
 
 def _cc_noise(rng: jax.Array, cur_no_norm: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -95,12 +118,8 @@ def _cc_noise(rng: jax.Array, cur_no_norm: jnp.ndarray) -> Tuple[jnp.ndarray, jn
     Q, C = cur_no_norm.shape
     k1, k2 = jax.random.split(rng)
     split = jax.random.randint(k1, (Q, 1), 0, C)
-    chan = jnp.arange(C)[None, :]
-    keep = (chan < split).astype(cur_no_norm.dtype)
-    perm, shuffled = _rs_noise(k2, cur_no_norm)
-    mixed = cur_no_norm * keep + shuffled * (1.0 - keep)
-    ret_idx = jnp.where(split[:, 0] < C // 2, perm, jnp.arange(Q))
-    return ret_idx, mixed
+    perm = jax.random.permutation(k2, Q)
+    return _cc_compose(cur_no_norm, perm, split)
 
 
 def noiser(
