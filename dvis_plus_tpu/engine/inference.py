@@ -9,6 +9,7 @@ to host for the evaluator.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from typing import Dict, Iterator, Optional
@@ -52,6 +53,24 @@ def eval_mask_budget_bytes(cfg: Config) -> float:
     return float(getattr(cfg.test, "offline_mf_budget_gb", 4.0)) * 1e9
 
 
+@functools.partial(
+    jax.jit, static_argnames=("img_size", "output_size", "padded_size")
+)
+def _upsample_pack(sel, img_size, output_size, padded_size):
+    """Fused upsample -> threshold -> bit-pack: the (n, t, out_h, out_w)
+    bool masks leave the device as packed uint8 (8 pixels/byte), an 8x cut
+    in device->host bytes on the eval hot path (the reference downloads
+    full fp16/bool tensors over PCIe, meta_architecture.py:704 + .cpu())."""
+    from dvis_plus_tpu.models.meta.minvis import upsample_masks
+
+    up = upsample_masks(sel, img_size, output_size, padded_size)
+    W = up.shape[-1]
+    up = jnp.pad(up, ((0, 0), (0, 0), (0, 0), (0, (-W) % 8)))
+    bits = up.reshape(up.shape[:-1] + (-1, 8)).astype(jnp.int32)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return (bits * weights).sum(axis=-1).astype(jnp.uint8)
+
+
 def paged_inference_video(
     mask_cls,
     mask_pred,  # (Q, T, H4, W4) device array OR host np array
@@ -67,8 +86,9 @@ def paged_inference_video(
     materializes on device — at OVIS-like T=300+ and 720p output it would be
     tens of GB. Chunks of ``chunk`` frames upsample on device and land in a
     host bool array (replacing the reference's retry_if_cuda_oom -> CPU fp32
-    escape hatch around inference_video, meta_architecture.py:704)."""
-    from dvis_plus_tpu.models.meta.minvis import topk_select, upsample_masks
+    escape hatch around inference_video, meta_architecture.py:704). The
+    per-chunk transfer is bit-packed (8 pixels/byte, see _upsample_pack)."""
+    from dvis_plus_tpu.models.meta.minvis import topk_select
 
     scores, labels, queries = topk_select(
         jnp.asarray(mask_cls), topk,
@@ -76,17 +96,19 @@ def paged_inference_video(
     )
     T = mask_pred.shape[1]
     n = int(scores.shape[0])
-    out = np.zeros((n, T, int(output_size[0]), int(output_size[1])), np.bool_)
+    oh, ow = int(output_size[0]), int(output_size[1])
+    out = np.zeros((n, T, oh, ow), np.bool_)
     host = isinstance(mask_pred, np.ndarray)
     q_host = np.asarray(queries)
+    sizes = (tuple(img_size), (oh, ow), tuple(padded_size))
     for s0 in range(0, T, chunk):
         s1 = min(s0 + chunk, T)
         if host:
             sel = jnp.asarray(mask_pred[:, s0:s1][q_host], jnp.float32)
         else:
             sel = jax.lax.slice_in_dim(mask_pred, s0, s1, axis=1)[queries]
-        up = upsample_masks(sel, img_size, output_size, padded_size)
-        out[:, s0:s1] = np.asarray(up)
+        packed = np.asarray(_upsample_pack(sel, *sizes))
+        out[:, s0:s1] = np.unpackbits(packed, axis=-1)[..., :ow].astype(bool)
     return scores, labels, out
 
 
