@@ -79,7 +79,6 @@ def main():
     from dvis_plus_tpu.core import checkpoint as ckpt
     from dvis_plus_tpu.utils.jax_cache import enable_persistent_compilation_cache
 
-    enable_persistent_compilation_cache()
     from dvis_plus_tpu.data.catalog import get_metadata, is_registered
     from dvis_plus_tpu.data.mapper import YTVISDatasetMapper
     from dvis_plus_tpu.engine.inference import _online_video, _minvis_video
@@ -87,6 +86,7 @@ def main():
     from train_net_video import build_model, init_params
 
     cfg = load_config(args.config_file, args.opts)
+    enable_persistent_compilation_cache(cfg.compile_cache_dir)
     if args.windows_size:
         cfg.test.window_size = args.windows_size
 

@@ -332,6 +332,17 @@ class Config:
     output_dir: str = "./output"
     seed: int = 42
     weights: str = ""  # checkpoint to load (stage chaining)
+    # On-TPU tracing window (SURVEY §5.1 trace hooks): non-empty = write an
+    # xplane trace for train steps [profile_steps) into this dir, viewable
+    # with XProf / tools/profiling/parse_xplane.py. Env override:
+    # DVIS_PROFILE_DIR / DVIS_PROFILE_STEPS.
+    profile_dir: str = ""
+    profile_steps: str = "5-8"
+    # Non-empty = persist XLA executables on disk keyed by HLO fingerprint
+    # (utils/jax_cache.py), so reruns of the same config skip compilation —
+    # the TPU-idiomatic replacement for the reference's "no compile step"
+    # torch UX. Env override: DVIS_COMPILE_CACHE_DIR.
+    compile_cache_dir: str = ""
 
 
 # ---------------------------------------------------------------------------

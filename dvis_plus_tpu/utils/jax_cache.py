@@ -17,14 +17,16 @@ import os
 logger = logging.getLogger(__name__)
 
 
-def enable_persistent_compilation_cache() -> str | None:
-    """Enable the on-disk XLA compile cache if DVIS_COMPILE_CACHE_DIR is set.
+def enable_persistent_compilation_cache(path: str = "") -> str | None:
+    """Enable the on-disk XLA compile cache.
 
-    Returns the cache path when enabled, else None. Safe to call multiple
-    times and before/after other jax imports (flags only affect compiles
-    issued afterwards).
+    ``path`` comes from ``cfg.compile_cache_dir``; the env var
+    ``DVIS_COMPILE_CACHE_DIR`` overrides it (harness convenience — the knob
+    predates its config field). Returns the cache path when enabled, else
+    None. Safe to call multiple times and before/after other jax imports
+    (flags only affect compiles issued afterwards).
     """
-    path = os.environ.get("DVIS_COMPILE_CACHE_DIR", "")
+    path = os.environ.get("DVIS_COMPILE_CACHE_DIR", "") or path
     if not path:
         return None
     import jax

@@ -146,11 +146,14 @@ def do_train(cfg, args):
 
     curriculum_rng = _random.Random(cfg.seed + 17)
     is_daq = cfg.model.meta_architecture.startswith("daq")
-    # on-TPU tracing window: DVIS_PROFILE_DIR=<dir> [DVIS_PROFILE_STEPS=a-b]
-    # writes an xplane trace viewable with XProf / tools/profiling/
-    # parse_xplane.py (SURVEY §5.1 trace hooks)
-    prof_dir = os.environ.get("DVIS_PROFILE_DIR", "")
-    prof_lo, _, _hi = os.environ.get("DVIS_PROFILE_STEPS", "5-8").partition("-")
+    # on-TPU tracing window (cfg.profile_dir / cfg.profile_steps; env
+    # DVIS_PROFILE_DIR / DVIS_PROFILE_STEPS override) — writes an xplane
+    # trace viewable with XProf / tools/profiling/parse_xplane.py
+    # (SURVEY §5.1 trace hooks)
+    prof_dir = os.environ.get("DVIS_PROFILE_DIR", "") or cfg.profile_dir
+    prof_lo, _, _hi = (
+        os.environ.get("DVIS_PROFILE_STEPS", "") or cfg.profile_steps
+    ).partition("-")
     prof_lo, prof_hi = int(prof_lo), int(_hi or int(prof_lo) + 3)
     prof_on = False
     for step in range(start_step, cfg.solver.max_iter):
@@ -330,7 +333,7 @@ def main():
     os.makedirs(cfg.output_dir, exist_ok=True)
     from dvis_plus_tpu.utils.jax_cache import enable_persistent_compilation_cache
 
-    enable_persistent_compilation_cache()
+    enable_persistent_compilation_cache(cfg.compile_cache_dir)
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s: %(message)s"
     )

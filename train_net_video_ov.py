@@ -422,7 +422,7 @@ def main():
     cfg.model.ov.enabled = True
     from dvis_plus_tpu.utils.jax_cache import enable_persistent_compilation_cache
 
-    enable_persistent_compilation_cache()
+    enable_persistent_compilation_cache(cfg.compile_cache_dir)
     os.makedirs(cfg.output_dir, exist_ok=True)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s: %(message)s")
     save_config(cfg, os.path.join(cfg.output_dir, "config.yaml"))
