@@ -69,8 +69,15 @@ class BackboneConfig:
     # CLIP (MODEL.FC_CLIP.*)
     clip_model_name: str = "convnext_large_d_320"
     clip_embed_dim: int = 768
-    clip_depths: Tuple[int, ...] = (3, 3, 27, 3)  # ConvNeXt-L trunk
+    clip_depths: Tuple[int, ...] = (3, 3, 27, 3)  # ConvNeXt-L trunk depths
+    # (for clip_model_type='resnet' these are the ModifiedResNet stage
+    # depths, RN50 = (3, 4, 6, 3))
     clip_dims: Tuple[int, ...] = (192, 384, 768, 1536)
+    # CLIP visual trunk family (reference extract_features dispatch,
+    # ov_dvis/backbones/clip.py:107-117): convnext | resnet
+    clip_model_type: str = "convnext"
+    clip_resnet_width: int = 64  # RN50 stem width (res5 = width * 32)
+    clip_attnpool_spacial: int = 7  # attnpool grid = input_resolution // 32
     freeze: bool = False  # freeze the whole backbone (OV / stage-2+ training)
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
 

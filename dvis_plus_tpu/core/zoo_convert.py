@@ -373,17 +373,30 @@ def convert_ov_segmenter(sd: Dict[str, np.ndarray], cfg) -> Dict:
     frozen CLIP ConvNeXt backbone + pixel decoder + OV predictor + the learned
     void embedding rows (``void_embedding`` + ``additional_void_embedding``,
     :152-157) -> our OVSegmenter params."""
-    from dvis_plus_tpu.models.ov.clip_backbone import convert_open_clip_convnext
+    from dvis_plus_tpu.models.ov.clip_backbone import (
+        convert_clip_attnpool,
+        convert_open_clip_convnext,
+        convert_open_clip_resnet,
+    )
 
     td = cfg.model.transformer_decoder
     clip_sd = _sub(sd, "backbone.clip_model.")
-    backbone = {
-        "trunk": convert_open_clip_convnext(
-            clip_sd, depths=tuple(cfg.model.backbone.clip_depths)
-        ),
-        "visual_head": convert_clip_visual_head(clip_sd),
-        "logit_scale": np.asarray(clip_sd["logit_scale"]),
-    }
+    if cfg.model.backbone.clip_model_type == "resnet":
+        backbone = {
+            "trunk": convert_open_clip_resnet(
+                clip_sd, layers=tuple(cfg.model.backbone.clip_depths)
+            ),
+            "attnpool": convert_clip_attnpool(clip_sd),
+            "logit_scale": np.asarray(clip_sd["logit_scale"]),
+        }
+    else:
+        backbone = {
+            "trunk": convert_open_clip_convnext(
+                clip_sd, depths=tuple(cfg.model.backbone.clip_depths)
+            ),
+            "visual_head": convert_clip_visual_head(clip_sd),
+            "logit_scale": np.asarray(clip_sd["logit_scale"]),
+        }
     void = [np.asarray(sd["void_embedding.weight"])]
     if "additional_void_embedding.weight" in sd:
         void.append(np.asarray(sd["additional_void_embedding.weight"]))

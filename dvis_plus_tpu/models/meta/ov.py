@@ -45,6 +45,9 @@ class OVSegmenter(nn.Module):
             embed_dim=self.cfg.ov.clip_embed_dim,
             depths=self.cfg.backbone.clip_depths,
             dims=self.cfg.backbone.clip_dims,
+            model_type=self.cfg.backbone.clip_model_type,
+            resnet_width=self.cfg.backbone.clip_resnet_width,
+            attnpool_spacial=self.cfg.backbone.clip_attnpool_spacial,
         )
         self.pixel_decoder = MSDeformAttnPixelDecoder(
             conv_dim=self.cfg.pixel_decoder.conv_dim,
@@ -131,14 +134,25 @@ class OVSegmenter(nn.Module):
         )
         out["clip_vis_dense"] = features["clip_vis_dense"]
         if self.is_initializing():
-            # touch the visual head so init covers the pool_clip path
-            _ = self.backbone.visual_prediction(
-                jnp.zeros((1, features["clip_vis_dense"].shape[-1]), compute_dtype)
-            )
+            # touch the out-of-vocab head so init covers the pool_clip path
+            dense0 = features["clip_vis_dense"]
+            if self.cfg.backbone.clip_model_type == "resnet":
+                _ = self.backbone.masked_attention_pool(
+                    dense0, jnp.zeros((dense0.shape[0], 1) + dense0.shape[1:3],
+                                      compute_dtype)
+                )
+            else:
+                _ = self.backbone.visual_prediction(
+                    jnp.zeros((1, dense0.shape[-1]), compute_dtype)
+                )
         return out
 
     def pool_clip(self, clip_dense: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
-        """Out-of-vocab head: mask-pool dense CLIP features + visual head."""
+        """Out-of-vocab head (reference visual_prediction_forward dispatch,
+        clip.py:112-117): ConvNeXt = binary mask-pool + MLP head; RN = masked
+        attention pooling."""
+        if self.cfg.backbone.clip_model_type == "resnet":
+            return self.backbone.masked_attention_pool(clip_dense, masks)
         pooled = mask_pooling(clip_dense, masks)
         return self.backbone.visual_prediction(pooled)
 

@@ -87,6 +87,151 @@ class CLIPVisualHead(nn.Module):
         return y
 
 
+class _FrozenBN(nn.Module):
+    """Frozen-statistics BatchNorm == per-channel affine (the CLIP backbone
+    is frozen, reference clip.py:33 freeze_everything, so torch BN always
+    runs in eval mode with running stats). Param names mirror the torch
+    buffers for 1:1 checkpoint ports."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        mul = (scale * (var + self.eps) ** -0.5).astype(x.dtype)
+        add = (bias - mean * scale * (var + self.eps) ** -0.5).astype(x.dtype)
+        return x * mul + add
+
+
+class CLIPBottleneck(nn.Module):
+    """CLIP's anti-aliased ResNet bottleneck (expansion 4): every conv is
+    stride 1; spatial reduction is an avg-pool after conv2 (and before the
+    1x1 on the shortcut) — the 'blurpool' trick from the CLIP paper."""
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.dtype
+        out_ch = self.planes * 4
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=d, name="conv1")(x)
+        y = nn.relu(_FrozenBN(self.planes, name="bn1")(y))
+        y = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=d, name="conv2")(y)
+        y = nn.relu(_FrozenBN(self.planes, name="bn2")(y))
+        if self.stride > 1:
+            y = nn.avg_pool(y, (self.stride, self.stride), (self.stride, self.stride))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=d, name="conv3")(y)
+        y = _FrozenBN(out_ch, name="bn3")(y)
+        if self.stride > 1 or x.shape[-1] != out_ch:
+            s = x
+            if self.stride > 1:
+                s = nn.avg_pool(s, (self.stride, self.stride), (self.stride, self.stride))
+            s = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=d, name="downsample_conv")(s)
+            s = _FrozenBN(out_ch, name="downsample_bn")(s)
+        else:
+            s = x
+        return nn.relu(y + s)
+
+
+class ModifiedResNet(nn.Module):
+    """CLIP's ModifiedResNet visual trunk (RN50: layers (3,4,6,3), width 64)
+    emitting the same pyramid the reference's ``extract_features_resnet``
+    taps (ov_dvis/backbones/clip.py:131-148): 3-conv stem (os2) -> avgpool ->
+    res2 (os4, 256ch) .. res5 (os32, 2048ch); ``clip_vis_dense`` = res5."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        d = x.dtype
+        w = self.width
+        y = nn.Conv(w // 2, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=d, name="conv1")(x)
+        y = nn.relu(_FrozenBN(w // 2, name="bn1")(y))
+        y = nn.Conv(w // 2, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=d, name="conv2")(y)
+        y = nn.relu(_FrozenBN(w // 2, name="bn2")(y))
+        y = nn.Conv(w, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=d, name="conv3")(y)
+        y = nn.relu(_FrozenBN(w, name="bn3")(y))
+        y = nn.avg_pool(y, (2, 2), (2, 2))
+        outs: Dict[str, jnp.ndarray] = {}
+        planes = w
+        for s, depth in enumerate(self.layers):
+            stride = 1 if s == 0 else 2
+            for b in range(depth):
+                y = CLIPBottleneck(
+                    planes, stride if b == 0 else 1, name=f"layer{s + 1}_{b}"
+                )(y)
+            outs[f"res{s + 2}"] = y
+            planes *= 2
+        outs["clip_vis_dense"] = y
+        return outs
+
+
+class CLIPAttentionPool(nn.Module):
+    """CLIP AttentionPool2d run in the reference's MASKED form
+    (``visual_prediction_forward_resnet``, ov_dvis/backbones/clip.py:158-202):
+    keys = dense tokens + bilinearly resized positional embedding, one query
+    per mask = mean token + pos[0], attention restricted to each mask's
+    pixels. Returns (B, N, output_dim) CLIP-space embeddings."""
+
+    embed_dim: int  # trunk channels (RN50: 2048)
+    output_dim: int  # CLIP space (RN50: 1024)
+    spacial_dim: int = 7  # input_resolution // 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+        """x (B, H, W, C) dense trunk features; masks (B, N, Hm, Wm) logits."""
+        B, H, W, C = x.shape
+        heads = C // 64
+        dh = 64
+        d = x.dtype
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(self.embed_dim**-0.5),
+            (self.spacial_dim * self.spacial_dim + 1, self.embed_dim),
+        ).astype(d)
+        # spatial rows resized to the feature map (torch F.interpolate
+        # bilinear align_corners=False == jax half-pixel 'linear')
+        spatial = pos[1:].reshape(self.spacial_dim, self.spacial_dim, C)
+        spatial = jax.image.resize(spatial, (H, W, C), method="linear")
+        tokens = x.reshape(B, H * W, C)
+        key_value = tokens + spatial.reshape(1, H * W, C)
+        query = tokens.mean(axis=1) + pos[0]  # (B, C)
+
+        if masks.shape[-2:] != (H, W):
+            masks = jax.image.resize(
+                masks, masks.shape[:-2] + (H, W), method="bilinear", antialias=False
+            )
+        allow = (masks > 0.0).reshape(B, -1, H * W)  # (B, N, HW)
+        # reference semantics: keys outside the mask get -inf. An all-masked
+        # row would softmax to NaN in torch too; we instead let EMPTY masks
+        # attend everywhere (same spirit as mask_pooling's +1e-8 guard)
+        empty = ~jnp.any(allow, axis=-1, keepdims=True)
+        bias = jnp.where(allow | empty, 0.0, -1e9).astype(jnp.float32)
+
+        q = nn.DenseGeneral((heads, dh), axis=-1, dtype=d, name="q_proj")(query)
+        k = nn.DenseGeneral((heads, dh), axis=-1, dtype=d, name="k_proj")(key_value)
+        v = nn.DenseGeneral((heads, dh), axis=-1, dtype=d, name="v_proj")(key_value)
+        # (B, heads, N, HW): every mask shares the same query vector but owns
+        # its attention row
+        att = jnp.einsum("bhd,bshd->bhs", q, k).astype(jnp.float32) / np.sqrt(dh)
+        att = att[:, :, None, :] + bias[:, None, :, :]
+        att = jax.nn.softmax(att, axis=-1).astype(d)
+        pooled = jnp.einsum("bhns,bshd->bnhd", att, v)
+        return nn.DenseGeneral(
+            self.output_dim, axis=(-2, -1), dtype=d, name="c_proj"
+        )(pooled)
+
+
 class CLIPTextEncoder(nn.Module):
     """CLIP text tower: token embed + causal transformer + ln_final + proj."""
 
@@ -132,15 +277,32 @@ class CLIPTextEncoder(nn.Module):
 
 
 class CLIPBackbone(nn.Module):
-    """Frozen CLIP visual trunk as a d2-style backbone + OV heads."""
+    """Frozen CLIP visual trunk as a d2-style backbone + OV heads.
+
+    ``model_type`` selects the trunk family exactly like the reference's
+    ``extract_features``/``visual_prediction_forward`` dispatch
+    (ov_dvis/backbones/clip.py:107-117): 'convnext' = ConvNeXt trunk +
+    mask-pooled MLP head; 'resnet' = CLIP ModifiedResNet trunk + masked
+    attention pooling (RN50: embed_dim 1024)."""
 
     embed_dim: int = 768
     depths: Sequence[int] = (3, 3, 27, 3)
     dims: Sequence[int] = (192, 384, 768, 1536)
+    model_type: str = "convnext"
+    resnet_width: int = 64
+    attnpool_spacial: int = 7  # input_resolution // 32 (RN50: 224 // 32)
 
     def setup(self):
-        self.trunk = ConvNeXt(tuple(self.depths), tuple(self.dims))
-        self.visual_head = CLIPVisualHead(self.embed_dim, self.dims[-1])
+        if self.model_type == "resnet":
+            self.trunk = ModifiedResNet(tuple(self.depths), self.resnet_width)
+            self.attnpool = CLIPAttentionPool(
+                embed_dim=self.resnet_width * 32,
+                output_dim=self.embed_dim,
+                spacial_dim=self.attnpool_spacial,
+            )
+        else:
+            self.trunk = ConvNeXt(tuple(self.depths), tuple(self.dims))
+            self.visual_head = CLIPVisualHead(self.embed_dim, self.dims[-1])
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(float(np.log(1 / 0.07))), ()
         )
@@ -150,6 +312,10 @@ class CLIPBackbone(nn.Module):
 
     def visual_prediction(self, pooled: jnp.ndarray) -> jnp.ndarray:
         return self.visual_head(pooled)
+
+    def masked_attention_pool(self, dense: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+        """RN out-of-vocab head (visual_prediction_forward_resnet)."""
+        return self.attnpool(dense, masks)
 
 
 def convert_open_clip_convnext(state_dict: Dict[str, np.ndarray], depths=(3, 3, 27, 3)) -> Dict:
@@ -198,6 +364,65 @@ def convert_open_clip_convnext(state_dict: Dict[str, np.ndarray], depths=(3, 3, 
                 "gamma": g(f"{pre}.gamma"),
             }
     return p
+
+
+def convert_open_clip_resnet(state_dict: Dict[str, np.ndarray],
+                             layers=(3, 4, 6, 3)) -> Dict:
+    """open_clip/CLIP ModifiedResNet visual trunk state_dict -> flax
+    :class:`ModifiedResNet` params. Keys follow ``visual.conv1..bn3``,
+    ``visual.layerL.B.{conv1..3,bn1..3,downsample.0/1}`` (downsample.0 is the
+    1x1 conv AFTER the avg-pool, downsample.1 its BN)."""
+
+    def conv(w):
+        return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+    def bn(prefix):
+        return {
+            "scale": np.asarray(g(f"{prefix}.weight")),
+            "bias": np.asarray(g(f"{prefix}.bias")),
+            "mean": np.asarray(g(f"{prefix}.running_mean")),
+            "var": np.asarray(g(f"{prefix}.running_var")),
+        }
+
+    g = lambda k: state_dict[f"visual.{k}"]
+    p: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        p[f"conv{i}"] = {"kernel": conv(g(f"conv{i}.weight"))}
+        p[f"bn{i}"] = bn(f"bn{i}")
+    for s, depth in enumerate(layers):
+        for b in range(depth):
+            pre = f"layer{s + 1}.{b}"
+            blk: Dict[str, Any] = {}
+            for i in (1, 2, 3):
+                blk[f"conv{i}"] = {"kernel": conv(g(f"{pre}.conv{i}.weight"))}
+                blk[f"bn{i}"] = bn(f"{pre}.bn{i}")
+            if f"visual.{pre}.downsample.0.weight" in state_dict:
+                blk["downsample_conv"] = {
+                    "kernel": conv(g(f"{pre}.downsample.0.weight"))
+                }
+                blk["downsample_bn"] = bn(f"{pre}.downsample.1")
+            p[f"layer{s + 1}_{b}"] = blk
+    return p
+
+
+def convert_clip_attnpool(state_dict: Dict[str, np.ndarray]) -> Dict:
+    """CLIP AttentionPool2d (``visual.attnpool.*``) -> flax
+    :class:`CLIPAttentionPool` params (q/k/v split per head)."""
+    g = lambda k: np.asarray(state_dict[f"visual.attnpool.{k}"])
+    C = g("positional_embedding").shape[1]
+    heads, dh = C // 64, 64
+    out: Dict[str, Any] = {"positional_embedding": g("positional_embedding")}
+    for name in ("q_proj", "k_proj", "v_proj"):
+        out[name] = {
+            "kernel": g(f"{name}.weight").T.reshape(C, heads, dh),
+            "bias": g(f"{name}.bias").reshape(heads, dh),
+        }
+    cw = g("c_proj.weight")  # (out, C)
+    out["c_proj"] = {
+        "kernel": cw.T.reshape(heads, dh, cw.shape[0]),
+        "bias": g("c_proj.bias"),
+    }
+    return out
 
 
 def convert_open_clip_text(state_dict: Dict[str, np.ndarray], layers: int = 16,
