@@ -16,6 +16,16 @@ from dvis_plus_tpu.utils import rle as rle_codec
 @pytest.fixture(scope="module")
 def synth_dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("ytvis")
+    return build_synth_dataset(root)
+
+
+def build_synth_dataset(root):
+    """Materialize + register the tiny synthetic YTVIS set under ``root``.
+    Plain function (not a fixture) so tools/serving_deviation_ap.py can
+    reuse it outside pytest."""
+    from pathlib import Path
+
+    root = Path(root)
     img_root = root / "imgs"
     os.makedirs(img_root, exist_ok=True)
     import cv2

@@ -1,0 +1,155 @@
+"""Measure the AP cost of each documented serving deviation (VERDICT r3 #3).
+
+The reference serves exactly what it trains: fp32 deformable-attention
+values inside an autocast-disabled island (mask2former/modeling/pixel_decoder/
+msdeformattn.py:314) and scipy linear_sum_assignment for MinVIS frame
+alignment. Our serving defaults deviate for TPU speed (bf16 compute, bf16
+deformable values, auction LAP) with parity knobs to flip back. Real zoo
+weights are env-blocked, so this harness produces the only within-env AP
+evidence: overfit the staged DVIS++ recipe (segmenter -> online tracker ->
+offline refiner) on the synthetic video set with PARITY settings, then score
+the SAME weights under each serving knob and report the AP delta per knob.
+
+Run (any backend; the PARITY.md table is from the real v5e chip):
+    python tools/serving_deviation_ap.py [--steps-scale 1.0]
+
+Prints one markdown table (for PARITY.md) plus a JSON line. The fast
+assertions live in tests/test_serving_deviation_ap.py, which reuses
+``measure()`` at reduced step counts.
+"""
+from __future__ import annotations
+
+import copy
+import json
+import tempfile
+
+
+def _variants(base_platform_tpu: bool):
+    """(name, {cfg-dot-path: value}) per deviation knob; 'serving' = all."""
+    v = [
+        ("parity", {}),
+        ("bf16_compute", {"model.compute_dtype": "bfloat16"}),
+        ("bf16_msdeform_values",
+         {"model.pixel_decoder.msdeform_value_dtype": "bfloat16"}),
+        ("auction_matcher", {"model.tracker.matcher_solver": "auction"}),
+        ("serving_defaults", {
+            "model.compute_dtype": "bfloat16",
+            "model.pixel_decoder.msdeform_value_dtype": "bfloat16",
+            "model.tracker.matcher_solver": "auction",
+        }),
+    ]
+    if base_platform_tpu:
+        # opt-in Pallas local-window deformable kernel (offset clamp +-8 px)
+        # only compiles on real TPU
+        v.insert(4, ("pallas_local_msdeform",
+                     {"model.pixel_decoder.msdeform_impl": "pallas_local"}))
+    return v
+
+
+def _set_path(cfg, path: str, value):
+    node = cfg
+    parts = path.split(".")
+    for p in parts[:-1]:
+        node = getattr(node, p)
+    setattr(node, parts[-1], value)
+
+
+def measure(out_dir: str, steps_scale: float = 1.0, seed: int = 0) -> dict:
+    """Train parity-settings staged overfit once; eval every variant.
+
+    Returns {"online": {variant: AP}, "offline": {variant: AP}}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_overfit_families import eval_ap, tiny_cfg, train
+    from train_net_video import build_model, init_params
+
+    platform = jax.devices()[0].platform
+    is_tpu = platform == "tpu"
+
+    def scaled(n):
+        return max(20, int(n * steps_scale))
+
+    # ---- stage 1: MinVIS segmenter overfit (parity settings: tiny_cfg is
+    # fp32 and the training matchers are exact JV already)
+    cfg1 = tiny_cfg("minvis")
+    model1 = build_model(cfg1)
+    params1 = init_params(cfg1, model1, jax.random.key(seed))
+    seg_params, _ = train(cfg1, model1, params1, scaled(120), seed=seed)
+
+    # ---- stage 2: online tracker on the frozen segmenter
+    cfg2 = tiny_cfg("dvis_online")
+    cfg2.model.freeze = ("segmenter",)
+    cfg2.model.tracker.matcher_solver = "jv"  # parity training
+    model2 = build_model(cfg2)
+    params2 = copy.deepcopy(init_params(cfg2, model2, jax.random.key(seed + 1)))
+    params2["params"]["segmenter"] = seg_params["params"]
+    params2, _ = train(cfg2, model2, params2, scaled(100), seed=seed)
+
+    # ---- stage 3: offline refiner on the frozen online stack
+    cfg3 = tiny_cfg("dvis_offline")
+    cfg3.model.freeze = ("segmenter", "tracker")
+    cfg3.model.tracker.matcher_solver = "jv"
+    cfg3.solver.base_lr = 1e-3
+    model3 = build_model(cfg3)
+    params3 = copy.deepcopy(init_params(cfg3, model3, jax.random.key(seed + 2)))
+    # COPY the online stack into stage 3: the train step donates its state
+    # buffers, and sharing params2's arrays into the donated tree would
+    # delete them before the online-variant evals below
+    params3["params"]["online"] = jax.tree.map(jnp.array, params2["params"])
+    params3, _ = train(cfg3, model3, params3, scaled(240), seed=seed)
+
+    results: dict = {"platform": platform, "online": {}, "offline": {}}
+    import pathlib
+
+    out = pathlib.Path(out_dir)
+    for arch, cfg_t, params in (
+        ("online", cfg2, params2),
+        ("offline", cfg3, params3),
+    ):
+        for name, knobs in _variants(is_tpu):
+            cfg_v = copy.deepcopy(cfg_t)  # parity baseline (fp32, exact, jv)
+            for path, value in knobs.items():
+                _set_path(cfg_v, path, value)
+            model_v = build_model(cfg_v)
+            ap = eval_ap(cfg_v, model_v, params, out, f"{arch}_{name}")
+            results[arch][name] = round(float(ap), 4)
+    return results
+
+
+def main():
+    import argparse
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps-scale", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    with tempfile.TemporaryDirectory(prefix="dvis_synth_") as tmp:
+        from tests.test_data import build_synth_dataset
+
+        build_synth_dataset(tmp)
+        res = measure(tmp, steps_scale=args.steps_scale, seed=args.seed)
+
+    print("\n| knob (eval-time) | online AP | offline AP |")
+    print("|---|---|---|")
+    base_on = res["online"]["parity"]
+    base_off = res["offline"]["parity"]
+    for name in res["online"]:
+        d_on = res["online"][name] - base_on
+        d_off = res["offline"][name] - base_off
+        print(
+            f"| {name} | {res['online'][name]:.3f} ({d_on:+.3f}) "
+            f"| {res['offline'][name]:.3f} ({d_off:+.3f}) |"
+        )
+    print()
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
