@@ -1,26 +1,38 @@
 """Benchmark: DVIS++ streaming video inference throughput on TPU.
 
-Two measurements at 720p (the BASELINE.json metric "video frames/sec/chip
+Measurements at 720p (the BASELINE.json metric "video frames/sec/chip
 (R50 & Swin-L, 720p clips)"; north star: DVIS++ Swin-L OFFLINE >= 30 video
 fps on v5e-8 == 3.75 fps/chip):
 
   1. R50 online  — jitted segmenter+tracker window step (serving config:
      bf16 compute + bf16 deformable-attention values);
-  2. Swin-L offline (HEADLINE, T=40) — the full deliverable path at realistic
+  2. DAQ R50 online — streaming Video Instance Cutter (first-frame
+     executable + in-graph lax.scan window, one sync per window);
+  3. Swin-L offline (HEADLINE, T=40) — the full deliverable path at realistic
      video length: Swin-L segmenter + tracker windows, HBM-bounded refiner
      (embed_pass + per-window mask head), logits fusion, AND top-K
      post-processing to output resolution;
-  3. DAQ R50 online — streaming Video Instance Cutter (first-frame
-     executable + in-graph lax.scan window, one sync per window);
-  4. ViT-Adapter-L offline — the top-AP zoo configuration (OVIS 53.4 AP).
+  4. ViT-Adapter-L offline — the top-AP zoo configuration (OVIS 53.4 AP);
+  5./6. END-TO-END product eval rate (JPEG decode -> model -> bit-packed mask
+     download -> native RLE -> results.json) for R50 online and Swin-L
+     offline.
 
-Prints ONE JSON line; the headline metric is the north-star Swin-L offline
-fps/chip, with the R50 online rate and post-processing-inclusive rates as
-extra fields.
+Output contract (timeout-proof — BENCH_r04 was rc:124/parsed:null because
+the old main() chained everything and printed ONE json at the very end):
+after EVERY completed section this prints the full cumulative result as one
+flushed JSON line, cheapest section first, so a driver timeout still leaves
+the latest line carrying every number measured so far. A soft deadline
+(DVIS_BENCH_DEADLINE_S, default 450 s) skips sections that no longer fit and
+records them under "skipped". Model params are initialised once per arch and
+shared between the model-only and e2e sections (the Swin-L init alone is
+tens of seconds), and XLA executables persist in the repo-local
+.jax_cache/bench dir (gitignored) so a re-run — including the driver's —
+skips most compiles.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -34,19 +46,68 @@ def _sync(x):
     return float(jnp.sum(jnp.asarray(x)[..., ::64].astype(jnp.float32)))
 
 
-def bench_r50_online(H=736, W=1280, T_w=5, n_windows=6):
+# ---------------------------------------------------------------------------
+# Shared model builders (memoized: the e2e sections reuse the params the
+# model-only sections already initialised — VERDICT r4 next #1(b)).
+# ---------------------------------------------------------------------------
+
+_BUILDS: dict = {}
+
+
+def _build(arch: str, T_w: int, H: int, W: int):
+    """Build (cfg, model, params) for ``arch`` in the serving config.
+
+    ``arch``: "r50_online" | "swinl_offline" | "vitl_offline".
+    Memoized on (arch, T_w, H, W).
+    """
+    key = (arch, T_w, H, W)
+    if key in _BUILDS:
+        return _BUILDS[key]
+
     from dvis_plus_tpu.core.config import Config
-    from dvis_plus_tpu.models.meta.dvis_online import DVISOnline
-    from dvis_plus_tpu.models.tracker.referring_tracker import init_tracker_state
 
     cfg = Config()
     cfg.model.num_classes = 40
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.pixel_decoder.msdeform_value_dtype = "bfloat16"
 
-    model = DVISOnline(cfg.model)
-    images = jnp.zeros((1, T_w, H, W, 3), jnp.float32)
-    params = jax.jit(model.init)(jax.random.key(0), images)
+    if arch == "r50_online":
+        from dvis_plus_tpu.models.meta.dvis_online import DVISOnline
+
+        cfg.model.meta_architecture = "dvis_online"
+        model = DVISOnline(cfg.model)
+    elif arch in ("swinl_offline", "r50_offline", "vitl_offline"):
+        from dvis_plus_tpu.models.meta.dvis_offline import DVISOffline
+
+        cfg.model.meta_architecture = "dvis_offline"
+        if arch == "swinl_offline":
+            cfg.model.backbone.name = "swin_l"
+            cfg.model.backbone.swin_fast_softmax = True  # bf16-scores path:
+            # AP-neutral, measured (PARITY.md serving-deviation table)
+            cfg.model.backbone.swin_embed_dim = 192
+            cfg.model.backbone.swin_depths = (2, 2, 18, 2)
+            cfg.model.backbone.swin_num_heads = (6, 12, 24, 48)
+            cfg.model.backbone.swin_window_size = 12
+        elif arch == "vitl_offline":
+            # ViT-Adapter DINOv2-L: the top-AP zoo rows (OVIS 53.4/57.1 AP)
+            cfg.model.backbone.name = "vit_adapter_dinov2"
+            cfg.model.backbone.vit_flash_attention = True  # serving bf16 path
+        cfg.model.transformer_decoder.num_queries = 200
+        cfg.model.transformer_decoder.reid_branch = True
+        model = DVISOffline(cfg.model)
+    else:
+        raise ValueError(arch)
+
+    images0 = jnp.zeros((1, T_w, H, W, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), images0)
+    _BUILDS[key] = (cfg, model, params)
+    return _BUILDS[key]
+
+
+def bench_r50_online(H=736, W=1280, T_w=5, n_windows=6):
+    from dvis_plus_tpu.models.tracker.referring_tracker import init_tracker_state
+
+    cfg, model, params = _build("r50_online", T_w, H, W)
 
     @jax.jit
     def window_step(params, images, state):
@@ -75,41 +136,18 @@ def bench_offline(backbone="swin_l", H=736, W=1280, T_w=5, n_windows=2,
     """Full offline deliverable path incl. refiner + post-processing.
 
     ``n_windows=8`` => T=40 frames: realistic video length for OVIS/YTVIS
-    (VERDICT r2 weak #1 — the O(T^2) refiner temporal attention and the
-    windowed mask head run at real scale; mask features stay device-resident
-    because 40 frames of fp32 stride-4 features ~ 2.4 GB < the 4 GB
-    DVIS_OFFLINE_MF_BUDGET_GB default — same policy as the engine)."""
-    from dvis_plus_tpu.core.config import Config
-    from dvis_plus_tpu.models.meta.dvis_offline import DVISOffline
+    (the O(T^2) refiner temporal attention and the windowed mask head run at
+    real scale; mask features stay device-resident because 40 frames of fp32
+    stride-4 features ~ 2.4 GB < the 4 GB DVIS_OFFLINE_MF_BUDGET_GB default —
+    same policy as the engine)."""
     from dvis_plus_tpu.models.meta.minvis import inference_video
     from dvis_plus_tpu.models.tracker.referring_tracker import init_tracker_state
 
-    cfg = Config()
-    cfg.model.num_classes = 40
-    cfg.model.compute_dtype = "bfloat16"
-    cfg.model.pixel_decoder.msdeform_value_dtype = "bfloat16"
-    if backbone == "swin_l":
-        cfg.model.backbone.name = "swin_l"
-        cfg.model.backbone.swin_fast_softmax = True  # serving bf16-scores path
-        cfg.model.backbone.swin_embed_dim = 192
-        cfg.model.backbone.swin_depths = (2, 2, 18, 2)
-        cfg.model.backbone.swin_num_heads = (6, 12, 24, 48)
-        cfg.model.backbone.swin_window_size = 12
-    elif backbone == "vit_adapter":
-        # ViT-Adapter DINOv2-L: the top-AP zoo rows (OVIS 53.4/57.1 AP)
-        cfg.model.backbone.name = "vit_adapter_dinov2"
-        cfg.model.backbone.vit_flash_attention = True  # serving bf16 path
-    else:
-        raise ValueError(backbone)
-    cfg.model.transformer_decoder.num_queries = 200
-    cfg.model.transformer_decoder.reid_branch = True
-
-    model = DVISOffline(cfg.model)
+    arch = {"swin_l": "swinl_offline", "vit_adapter": "vitl_offline",
+            "r50": "r50_offline"}[backbone]
+    cfg, model, params = _build(arch, T_w, H, W)
     Q = cfg.model.transformer_decoder.num_queries
-    C2 = 512  # reid branch doubles the embed dim
-
-    images = jnp.zeros((1, T_w, H, W, 3), jnp.float32)
-    params = jax.jit(model.init)(jax.random.key(0), images)
+    C2 = 256 * (2 if cfg.model.transformer_decoder.reid_branch else 1)
 
     @jax.jit
     def win(params, imgs, state):
@@ -133,6 +171,8 @@ def bench_offline(backbone="swin_l", H=736, W=1280, T_w=5, n_windows=2,
     rng = np.random.RandomState(0)
     frames = jnp.asarray(rng.rand(1, T_w, H, W, 3).astype(np.float32))
 
+    out_h, out_w = min(H, 720), W
+
     def run_video():
         state = init_tracker_state(1, Q, C2, jnp.dtype(cfg.model.compute_dtype))
         lgs, insts, frames_l, mf_host = [], [], [], []
@@ -141,7 +181,7 @@ def bench_offline(backbone="swin_l", H=736, W=1280, T_w=5, n_windows=2,
             lgs.append(lg)
             insts.append(inst)
             frames_l.append(frame)
-            mf_host.append(mf)  # device-resident: T=10 video fits the HBM
+            mf_host.append(mf)  # device-resident: T=40 video fits the HBM
             # budget (the engine pages to host only beyond
             # DVIS_OFFLINE_MF_BUDGET_GB; through the axon relay a host
             # round-trip measures network, not the chip)
@@ -163,8 +203,8 @@ def bench_offline(backbone="swin_l", H=736, W=1280, T_w=5, n_windows=2,
         aux = online_logits.astype(jnp.float32).mean(0)
         res = inference_video(
             r_logits, r_masks.astype(jnp.float32),
-            img_size=(720, 1280), output_size=(720, 1280), padded_size=(H, W),
-            topk=topk, aux_pred_cls=aux,
+            img_size=(out_h, out_w), output_size=(out_h, out_w),
+            padded_size=(H, W), topk=topk, aux_pred_cls=aux,
         )
         return np.asarray(res.masks[:, 0, ::64, ::64])  # strided pull = sync
 
@@ -181,7 +221,8 @@ def bench_daq_online(H=736, W=1280, T_w=5, n_windows=4):
     cutter executable + in-graph lax.scan steady-state window (one dispatch /
     one sync per window — the shipped engine path, daq_inference.stream_video).
     Bulk slot-mask download to host is excluded (relay-bound, not chip-bound;
-    same policy as the offline bench)."""
+    same policy as the offline bench — the e2e sections below measure the
+    download-inclusive product rate)."""
     from dvis_plus_tpu.core.config import Config
     from dvis_plus_tpu.models.meta.daq import DAQOnline
     from dvis_plus_tpu.models.daq.cutter import init_cutter_state
@@ -290,52 +331,31 @@ def _synth_jpeg_video(T, H, W, seed):
     return frames
 
 
-def bench_e2e_eval(arch="dvis_online", n_videos=4, T=40, H=720, W=1280,
-                   pad_h=736):
-    """END-TO-END eval throughput (VERDICT r3 next #6): JPEG decode ->
-    model windows -> paged top-K post-processing (bit-packed device->host
-    mask download) -> evaluator (native RLE encode) -> results.json. This is
-    the product's eval loop (engine.run_vis_inference + YTVISEvaluator),
-    not the model-only rate. Returns (e2e_fps, host_rle_s_per_video).
+def bench_e2e_eval(arch="dvis_online", n_videos=3, T=40, H=720, W=1280,
+                   pad_h=736, T_w=5):
+    """END-TO-END eval throughput: JPEG decode -> model windows -> paged
+    top-K post-processing (bit-packed device->host mask download) ->
+    evaluator (native RLE encode) -> results.json. This is the product's
+    eval loop (engine.run_vis_inference + YTVISEvaluator), not the
+    model-only rate. Returns (e2e_fps, host_rle_s_per_video).
 
     ``arch`` is "dvis_online" (R50) or "dvis_offline" (Swin-L, the headline
-    config). The first video absorbs the one-time XLA compiles, so the rate
-    is measured over videos 2..N (steady-state product behavior)."""
+    config); the (cfg, model, params) triple is shared with the model-only
+    section of the same arch via _build. The first video absorbs the
+    one-time XLA compiles, so the rate is measured over videos 2..N
+    (steady-state product behavior)."""
     import io
     import tempfile
     import time as _t
 
     from PIL import Image
 
-    from dvis_plus_tpu.core.config import Config
     from dvis_plus_tpu.engine.inference import run_vis_inference
     from dvis_plus_tpu.evaluation.evaluators import YTVISEvaluator
 
-    cfg = Config()
-    cfg.model.num_classes = 40
-    cfg.model.compute_dtype = "bfloat16"
-    cfg.model.pixel_decoder.msdeform_value_dtype = "bfloat16"
-    cfg.model.meta_architecture = arch
-    cfg.test.window_size = 5
-
-    if arch == "dvis_offline":
-        from dvis_plus_tpu.models.meta.dvis_offline import DVISOffline
-
-        cfg.model.backbone.name = "swin_l"
-        cfg.model.backbone.swin_fast_softmax = True
-        cfg.model.backbone.swin_embed_dim = 192
-        cfg.model.backbone.swin_depths = (2, 2, 18, 2)
-        cfg.model.backbone.swin_num_heads = (6, 12, 24, 48)
-        cfg.model.backbone.swin_window_size = 12
-        cfg.model.transformer_decoder.num_queries = 200
-        cfg.model.transformer_decoder.reid_branch = True
-        model = DVISOffline(cfg.model)
-    else:
-        from dvis_plus_tpu.models.meta.dvis_online import DVISOnline
-
-        model = DVISOnline(cfg.model)
-    images0 = jnp.zeros((1, cfg.test.window_size, pad_h, W, 3), jnp.float32)
-    params = jax.jit(model.init)(jax.random.key(0), images0)
+    build_key = "swinl_offline" if arch == "dvis_offline" else "r50_online"
+    cfg, model, params = _build(build_key, T_w, pad_h, W)
+    cfg.test.window_size = T_w
 
     videos = [_synth_jpeg_video(T, H, W, s) for s in range(n_videos)]
 
@@ -381,36 +401,133 @@ def bench_e2e_eval(arch="dvis_online", n_videos=4, T=40, H=720, W=1280,
     return e2e_fps, ev.rle_s / n_videos
 
 
+# ---------------------------------------------------------------------------
+# Main: per-section flushed cumulative output under a soft deadline.
+# ---------------------------------------------------------------------------
+
+NORTH_STAR_FPS = 30.0 / 8.0  # 30 video fps on v5e-8 => 3.75 fps/chip
+
+
+def _emit(result):
+    print(json.dumps(result), flush=True)
+
+
 def main():
-    dev = str(jax.devices()[0])
-    # headline: Swin-L offline at a REAL video length (T=40; OVIS mean ~42
-    # frames) — refiner O(T^2) + windowed mask head at scale
-    swinl_fps = bench_offline("swin_l", n_windows=8, n_reps=2)
-    r50_fps = bench_r50_online()
-    daq_fps = bench_daq_online()
-    vitl_fps = bench_offline("vit_adapter", n_windows=2, n_reps=2)
-    # end-to-end PRODUCT eval rate (loader -> model -> paged post-processing
-    # -> RLE/json evaluator), VERDICT r3 next #6 — includes the bit-packed
-    # host mask download and the native RLE encoder
-    e2e_r50_fps, rle_r50 = bench_e2e_eval("dvis_online", n_videos=4)
-    e2e_swinl_fps, rle_swinl = bench_e2e_eval("dvis_offline", n_videos=4)
-    # north star: 30 video fps on v5e-8 => 3.75 fps/chip (BASELINE.json)
+    # The axon TPU plugin's sitecustomize sets jax_platforms="axon,cpu" at
+    # import, overriding a JAX_PLATFORMS=cpu env request (smoke/CI runs).
+    from dvis_plus_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+
+    # Persist XLA executables across runs (repo-local, gitignored) so the
+    # driver's bench run skips the compiles this round's runs already paid.
+    if os.environ.get("DVIS_BENCH_COMPILE_CACHE", "1") == "1":
+        from dvis_plus_tpu.utils.jax_cache import (
+            enable_persistent_compilation_cache,
+        )
+
+        enable_persistent_compilation_cache(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache", "bench")
+        )
+
+    deadline = float(os.environ.get("DVIS_BENCH_DEADLINE_S", "450"))
+    smoke = os.environ.get("DVIS_BENCH_SMOKE", "") == "1"
+    t0 = time.monotonic()
+
+    if smoke:
+        # Tiny-shape structural run for CI (tests/test_bench_smoke.py):
+        # exercises the section loop, cumulative emission, deadline skip and
+        # schema on CPU; R50 stands in for the big backbones.
+        dims = dict(H=96, W=160, T_w=2)
+        sections = [
+            ("r50_online_fps_per_chip", "r50_online", 120,
+             lambda: bench_r50_online(n_windows=2, **dims)),
+            ("daq_r50_online_fps_per_chip", "daq", 120,
+             lambda: bench_daq_online(n_windows=2, **dims)),
+            ("swinl_offline", "swinl_offline", 180,
+             lambda: bench_offline("r50", n_windows=2, n_reps=1, **dims)),
+            ("e2e_eval_fps_r50_online", "e2e_r50", 180,
+             lambda: bench_e2e_eval("dvis_online", n_videos=2, T=4,
+                                    H=dims["H"], W=dims["W"],
+                                    pad_h=dims["H"], T_w=dims["T_w"])),
+        ]
+        video_len = 4
+    else:
+        # Cheapest-first so a timeout still reports the most numbers;
+        # the e2e sections reuse the model-only sections' params.
+        sections = [
+            ("r50_online_fps_per_chip", "r50_online", 90,
+             lambda: bench_r50_online()),
+            ("daq_r50_online_fps_per_chip", "daq", 110,
+             lambda: bench_daq_online()),
+            # headline: Swin-L offline at a REAL video length (T=40; OVIS
+            # mean ~42 frames) — refiner O(T^2) + windowed mask head at scale
+            ("swinl_offline", "swinl_offline", 170,
+             lambda: bench_offline("swin_l", n_windows=8, n_reps=2)),
+            ("vitl_offline_fps_per_chip", "vitl_offline", 150,
+             lambda: bench_offline("vit_adapter", n_windows=2, n_reps=2)),
+            ("e2e_eval_fps_r50_online", "e2e_r50", 110,
+             lambda: bench_e2e_eval("dvis_online", n_videos=3)),
+            ("e2e_eval_fps_swinl_offline", "e2e_swinl", 130,
+             lambda: bench_e2e_eval("dvis_offline", n_videos=3)),
+        ]
+        video_len = 40
+
     result = {
         "metric": "video_frames_per_sec_per_chip_swinl_offline_720p",
-        "value": round(swinl_fps, 2),
+        "value": None,
         "unit": "frames/s",
-        "vs_baseline": round(swinl_fps / (30.0 / 8.0), 3),
-        "r50_online_fps_per_chip": round(r50_fps, 2),
-        "daq_r50_online_fps_per_chip": round(daq_fps, 2),
-        "vitl_offline_fps_per_chip": round(vitl_fps, 2),
-        "e2e_eval_fps_r50_online": round(e2e_r50_fps, 2),
-        "e2e_eval_fps_swinl_offline": round(e2e_swinl_fps, 2),
-        "e2e_host_rle_s_per_video": round(max(rle_r50, rle_swinl), 2),
-        "swinl_video_len_frames": 40,
-        "includes": "segmenter+tracker windows, refiner, mask head, top-K post-processing to 720p (device; host mask download excluded - relay-bound, not chip-bound); e2e_* rows are the FULL product loop (JPEG decode -> model -> bit-packed mask download -> native RLE -> results.json)",
-        "device": dev,
+        "vs_baseline": None,
+        "swinl_video_len_frames": video_len,
+        "includes": (
+            "segmenter+tracker windows, refiner, mask head, top-K "
+            "post-processing to 720p (device; host mask download excluded - "
+            "relay-bound, not chip-bound); e2e_* rows are the FULL product "
+            "loop (JPEG decode -> model -> bit-packed mask download -> "
+            "native RLE -> results.json)"
+        ),
+        "device": str(jax.devices()[0]),
+        "section_s": {},
     }
-    print(json.dumps(result))
+
+    for key, name, est_s, fn in sections:
+        elapsed = time.monotonic() - t0
+        if elapsed + est_s > deadline:
+            result.setdefault("skipped", []).append(name)
+            _emit(result)
+            continue
+        t_sec = time.monotonic()
+        try:
+            val = fn()
+        except Exception as e:  # keep reporting the rest
+            result.setdefault("errors", {})[name] = f"{type(e).__name__}: {e}"
+            _emit(result)
+            continue
+        result["section_s"][name] = round(time.monotonic() - t_sec, 1)
+        if key == "swinl_offline":
+            result["value"] = round(val, 2)
+            result["vs_baseline"] = round(val / NORTH_STAR_FPS, 3)
+        elif name.startswith("e2e"):
+            fps, rle_s = val
+            result[key] = round(fps, 2)
+            result[f"host_rle_s_per_video_{name[4:]}"] = round(rle_s, 2)
+        else:
+            result[key] = round(val, 2)
+        if result["value"] is None and "r50_online_fps_per_chip" in result:
+            # headline not yet measured: report the best number so far so a
+            # very early timeout still yields a valid {metric,value} line
+            result["metric"] = "video_frames_per_sec_per_chip_r50_online_720p"
+            result["value"] = result["r50_online_fps_per_chip"]
+            result["vs_baseline"] = round(
+                result["value"] / NORTH_STAR_FPS, 3
+            )
+        elif result.get("metric", "").endswith("r50_online_720p") and \
+                key == "swinl_offline":
+            result["metric"] = (
+                "video_frames_per_sec_per_chip_swinl_offline_720p"
+            )
+        _emit(result)
 
 
 if __name__ == "__main__":

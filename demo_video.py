@@ -48,6 +48,9 @@ def visualize(frame_rgb, masks, scores, labels, ids, class_names, thr):
 
 
 def main():
+    from dvis_plus_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-file", required=True)
     parser.add_argument("--input", required=True, help="directory of frames")

@@ -27,4 +27,18 @@ def test_serving_knobs_preserve_overfit_ap(synth_dataset, tmp_path):  # noqa: F8
             assert ap >= base - TOL, (arch, name, res)
 
 
+def test_swin_serving_knobs_preserve_overfit_ap(synth_dataset, tmp_path):  # noqa: F811
+    """The headline bench serves swin_fast_softmax (bf16 attention scores);
+    this guards that the knob never costs AP vs the fp32-parity weights
+    (VERDICT r4 next #3 — the TPU-only fused_attn row is additionally
+    measured on the real chip by tools/serving_deviation_ap.py)."""
+    from tools.serving_deviation_ap import measure_swin
+
+    res = measure_swin(str(tmp_path), steps_scale=1.0)
+    base = res["swin"]["parity"]
+    assert base > 0.2, res
+    for name, ap in res["swin"].items():
+        assert ap >= base - TOL, (name, res)
+
+
 from tests.test_data import synth_dataset  # noqa: F401,E402

@@ -46,6 +46,76 @@ def _variants(base_platform_tpu: bool):
     return v
 
 
+def _swin_variants(base_platform_tpu: bool):
+    """Swin serving knobs (VERDICT r4 next #3 — the headline bench serves
+    ``swin_fast_softmax=True``). ``fast_softmax`` only engages when the
+    compute dtype is bf16 (swin.py: q.dtype check), so each knob row is
+    measured on top of bf16 compute and bf16_compute itself is the
+    reference point for isolating the attention-score deviation."""
+    v = [
+        ("parity", {}),
+        ("bf16_compute", {"model.compute_dtype": "bfloat16"}),
+        ("swin_fast_softmax", {
+            "model.compute_dtype": "bfloat16",
+            "model.backbone.swin_fast_softmax": True,
+        }),
+    ]
+    if base_platform_tpu:
+        # fused Pallas window attention (fp32 softmax in VMEM) compiles on
+        # real TPU only
+        v.append(("swin_fused_attn", {
+            "model.compute_dtype": "bfloat16",
+            "model.backbone.swin_fused_attn": True,
+        }))
+    return v
+
+
+def measure_swin(out_dir: str, steps_scale: float = 1.0, seed: int = 0) -> dict:
+    """Overfit a Swin-backbone MinVIS segmenter at parity settings, then
+    score the SAME weights under each Swin serving knob.
+
+    Returns {"swin": {variant: AP}, "platform": ...}. Swin-T-proportioned
+    dims scaled to the synthetic set; the knobs under test
+    (fast_softmax bf16 scores, fused Pallas window attention) are the exact
+    code paths the Swin-L headline bench serves (bench.py swinl_offline)."""
+    import copy as _copy
+
+    import jax
+
+    from tests.test_overfit_families import eval_ap, tiny_cfg, train
+    from train_net_video import build_model, init_params
+
+    platform = jax.devices()[0].platform
+    is_tpu = platform == "tpu"
+
+    def scaled(n):
+        return max(20, int(n * steps_scale))
+
+    cfg = tiny_cfg("minvis")
+    cfg.model.backbone.name = "swin_t"
+    cfg.model.backbone.swin_embed_dim = 32
+    cfg.model.backbone.swin_depths = (1, 1, 2, 1)
+    cfg.model.backbone.swin_num_heads = (2, 4, 8, 16)
+    cfg.model.backbone.swin_window_size = 4
+    cfg.model.backbone.swin_drop_path_rate = 0.0
+    model = build_model(cfg)
+    params = init_params(cfg, model, jax.random.key(seed))
+    params, _ = train(cfg, model, params, scaled(150), seed=seed)
+
+    import pathlib
+
+    out = pathlib.Path(out_dir)
+    results: dict = {"platform": platform, "swin": {}}
+    for name, knobs in _swin_variants(is_tpu):
+        cfg_v = _copy.deepcopy(cfg)
+        for path, value in knobs.items():
+            _set_path(cfg_v, path, value)
+        model_v = build_model(cfg_v)
+        ap = eval_ap(cfg_v, model_v, params, out, f"swin_{name}")
+        results["swin"][name] = round(float(ap), 4)
+    return results
+
+
 def _set_path(cfg, path: str, value):
     node = cfg
     parts = path.split(".")
@@ -135,6 +205,8 @@ def main():
 
         build_synth_dataset(tmp)
         res = measure(tmp, steps_scale=args.steps_scale, seed=args.seed)
+        res_swin = measure_swin(tmp, steps_scale=args.steps_scale,
+                                seed=args.seed)
 
     print("\n| knob (eval-time) | online AP | offline AP |")
     print("|---|---|---|")
@@ -147,7 +219,13 @@ def main():
             f"| {name} | {res['online'][name]:.3f} ({d_on:+.3f}) "
             f"| {res['offline'][name]:.3f} ({d_off:+.3f}) |"
         )
+    print("\n| Swin knob (eval-time) | segmenter AP |")
+    print("|---|---|")
+    base_swin = res_swin["swin"]["parity"]
+    for name, ap in res_swin["swin"].items():
+        print(f"| {name} | {ap:.3f} ({ap - base_swin:+.3f}) |")
     print()
+    res["swin"] = res_swin["swin"]
     print(json.dumps(res))
 
 

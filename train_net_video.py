@@ -320,6 +320,9 @@ def run_task_eval(cfg, model, params, loader, dataset_name, dataset_type):
 
 
 def main():
+    from dvis_plus_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-file", default=None)
     parser.add_argument("--eval-only", action="store_true")

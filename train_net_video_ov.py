@@ -405,6 +405,9 @@ def do_eval(cfg, args, encode_fn):
 
 
 def main():
+    from dvis_plus_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-file", required=True)
     parser.add_argument("--eval-only", action="store_true")
