@@ -65,6 +65,9 @@ class BackboneConfig:
     vit_deform_ratio: float = 0.5
     vit_frozen: bool = True
     vit_flash_attention: bool = False  # serving-only blockwise trunk attention
+    vit_extractor_coarse: bool = False  # serving-only coarse stride-8 extractor
+    # queries (2x2-pooled + bilinear residual upsample; ~57% fewer deformable
+    # gather rows — AP impact measured by tools/serving_deviation_ap.py)
     # (ops/flash_attn.py; parity runs keep the dense fp32-softmax island)
     # CLIP (MODEL.FC_CLIP.*)
     clip_model_name: str = "convnext_large_d_320"

@@ -271,18 +271,45 @@ class Extractor(nn.Module):
     cffn_ratio: float = 0.25
     deform_ratio: float = 1.0  # value-proj width ratio (reference vitl: 0.5)
     shapes: Tuple[Tuple[int, int], ...] = ()
+    # serving-only deviation (backbone.vit_extractor_coarse): compute the
+    # deformable-attention residual for the stride-8 level on a 2x-coarser
+    # query grid (2x2-mean-pooled queries, coarse-grid reference points) and
+    # bilinearly upsample the residual before the add. The stride-8 queries
+    # are 76% of the extractor's gather rows, which sit on the measured
+    # ~9 ns/row descriptor floor (NOTES perf backlog #0) — this trades a
+    # smooth-residual approximation for ~57% fewer rows. Parity default OFF;
+    # AP impact measured by tools/serving_deviation_ap.py (measure_vit).
+    coarse_s8: bool = False
 
     @nn.compact
     def __call__(self, query, reference_points, feat, feat_shape):
-        attn = DeformAttnModule(
+        attn_mod = DeformAttnModule(
             self.dim, self.num_heads, self.n_points, n_levels=1,
             ratio=self.deform_ratio, name="attn"
-        )(
-            nn.LayerNorm(dtype=query.dtype, name="query_norm")(query),
-            reference_points,
-            nn.LayerNorm(dtype=feat.dtype, name="feat_norm")(feat),
-            [feat_shape],
         )
+        qn = nn.LayerNorm(dtype=query.dtype, name="query_norm")(query)
+        fn = nn.LayerNorm(dtype=feat.dtype, name="feat_norm")(feat)
+        if not self.coarse_s8:
+            attn = attn_mod(qn, reference_points, fn, [feat_shape])
+        else:
+            B, _, C = query.shape
+            (h2, w2) = self.shapes[0]
+            n2 = h2 * w2
+            hc, wc = h2 // 2, w2 // 2
+            q2 = qn[:, :n2].reshape(B, hc, 2, wc, 2, C).mean(axis=(2, 4))
+            q_coarse = jnp.concatenate(
+                [q2.reshape(B, hc * wc, C), qn[:, n2:]], axis=1
+            )
+            refs2 = _reference_points([(hc, wc)])  # coarse-grid centers [0,1]
+            refs_coarse = jnp.concatenate(
+                [refs2, reference_points[n2:]], axis=0
+            )
+            attn_c = attn_mod(q_coarse, refs_coarse, fn, [feat_shape])
+            a2 = attn_c[:, : hc * wc].reshape(B, hc, wc, C)
+            a2 = jax.image.resize(
+                a2, (B, h2, w2, C), "bilinear", antialias=False
+            ).reshape(B, n2, C)
+            attn = jnp.concatenate([a2, attn_c[:, hc * wc :]], axis=1)
         query = query + attn
         if self.with_cffn:
             h = nn.LayerNorm(dtype=query.dtype, name="ffn_norm")(query)
@@ -331,6 +358,7 @@ class ViTAdapter(nn.Module):
     deform_ratio: float = 0.5
     add_vit_feature: bool = True
     use_injector: bool = False  # shipped config uses the Efficient (no-inject) blocks
+    extractor_coarse_s8: bool = False  # serving-only (see Extractor.coarse_s8)
     pretrain_grid: int = 37  # DINOv2 518/14 pos-embed grid
     attn_impl: str = "dense"  # trunk attention: 'dense' | 'flash' (serving)
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
@@ -384,6 +412,7 @@ class ViTAdapter(nn.Module):
                 self.embed_dim, self.deform_num_heads, self.n_points,
                 with_cffn=self.with_cffn, cffn_ratio=self.cffn_ratio,
                 deform_ratio=self.deform_ratio, shapes=shapes,
+                coarse_s8=self.extractor_coarse_s8,
                 name=f"extractor_{i}",
             )(c, refs_c1, tokens, (Hp, Wp))
             if i == n_inter - 1:
@@ -392,6 +421,7 @@ class ViTAdapter(nn.Module):
                         self.embed_dim, self.deform_num_heads, self.n_points,
                         with_cffn=self.with_cffn, cffn_ratio=self.cffn_ratio,
                         deform_ratio=self.deform_ratio, shapes=shapes,
+                        coarse_s8=self.extractor_coarse_s8,
                         name=f"extra_extractor_{j}",
                     )(c, refs_c1, tokens, (Hp, Wp))
             outs.append(tokens.reshape(B, Hp, Wp, self.embed_dim))
@@ -441,5 +471,6 @@ def build_vit_adapter(cfg: BackboneConfig, dtype=None) -> ViTAdapter:
         with_cffn=cfg.vit_with_cffn,
         deform_ratio=cfg.vit_deform_ratio,
         attn_impl="flash" if cfg.vit_flash_attention else "dense",
+        extractor_coarse_s8=cfg.vit_extractor_coarse,
         out_features=cfg.out_features,
     )

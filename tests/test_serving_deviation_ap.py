@@ -41,4 +41,18 @@ def test_swin_serving_knobs_preserve_overfit_ap(synth_dataset, tmp_path):  # noq
         assert ap >= base - TOL, (name, res)
 
 
+def test_vit_serving_knobs_preserve_overfit_ap(synth_dataset, tmp_path):  # noqa: F811
+    """ViT-Adapter serving knobs: vit_flash_attention (served by the vitl
+    bench) and the coarse stride-8 extractor deviation — the SAME overfit
+    weights must keep AP under each knob (the coarse knob is an
+    approximation; this is its evidence gate)."""
+    from tools.serving_deviation_ap import measure_vit
+
+    res = measure_vit(str(tmp_path), steps_scale=1.0)
+    base = res["vit"]["parity"]
+    assert base > 0.2, res
+    for name, ap in res["vit"].items():
+        assert ap >= base - TOL, (name, res)
+
+
 from tests.test_data import synth_dataset  # noqa: F401,E402

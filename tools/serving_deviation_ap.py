@@ -116,6 +116,75 @@ def measure_swin(out_dir: str, steps_scale: float = 1.0, seed: int = 0) -> dict:
     return results
 
 
+def _vit_variants():
+    """ViT-Adapter serving knobs: blockwise flash trunk attention (bitexact
+    dense fallback on CPU, bf16-blockwise on TPU — the vitl bench serves it)
+    and the coarse stride-8 extractor (2x-pooled queries + bilinear residual
+    upsample; an approximation, so its AP row is the evidence gate for ever
+    serving it)."""
+    return [
+        ("parity", {}),
+        ("bf16_compute", {"model.compute_dtype": "bfloat16"}),
+        ("vit_flash_attention", {
+            "model.compute_dtype": "bfloat16",
+            "model.backbone.vit_flash_attention": True,
+        }),
+        ("vit_extractor_coarse", {
+            "model.compute_dtype": "bfloat16",
+            "model.backbone.vit_extractor_coarse": True,
+        }),
+        ("vit_serving", {
+            "model.compute_dtype": "bfloat16",
+            "model.backbone.vit_flash_attention": True,
+            "model.backbone.vit_extractor_coarse": True,
+        }),
+    ]
+
+
+def measure_vit(out_dir: str, steps_scale: float = 1.0, seed: int = 0) -> dict:
+    """Overfit a ViT-Adapter-backbone MinVIS segmenter at parity settings
+    (fp32, dense trunk attention, exact extractor), then score the SAME
+    weights under each ViT serving knob. ViT-L-proportioned structure at tiny
+    dims (frozen random trunk + trainable adapter, 2 interactions + the extra
+    extractors — the exact code paths the vitl bench serves)."""
+    import copy as _copy
+
+    import jax
+
+    from tests.test_overfit_families import eval_ap, tiny_cfg, train
+    from train_net_video import build_model, init_params
+
+    platform = jax.devices()[0].platform
+
+    def scaled(n):
+        return max(20, int(n * steps_scale))
+
+    cfg = tiny_cfg("minvis")
+    cfg.model.backbone.name = "vit_adapter_dinov2"
+    cfg.model.backbone.vit_embed_dim = 32
+    cfg.model.backbone.vit_depth = 2
+    cfg.model.backbone.vit_num_heads = 2
+    cfg.model.backbone.vit_interaction_indexes = ((0, 0), (1, 1))
+    cfg.model.backbone.vit_conv_inplane = 8
+    cfg.model.backbone.vit_deform_num_heads = 2
+    model = build_model(cfg)
+    params = init_params(cfg, model, jax.random.key(seed))
+    params, _ = train(cfg, model, params, scaled(150), seed=seed)
+
+    import pathlib
+
+    out = pathlib.Path(out_dir)
+    results: dict = {"platform": platform, "vit": {}}
+    for name, knobs in _vit_variants():
+        cfg_v = _copy.deepcopy(cfg)
+        for path, value in knobs.items():
+            _set_path(cfg_v, path, value)
+        model_v = build_model(cfg_v)
+        ap = eval_ap(cfg_v, model_v, params, out, f"vit_{name}")
+        results["vit"][name] = round(float(ap), 4)
+    return results
+
+
 def _set_path(cfg, path: str, value):
     node = cfg
     parts = path.split(".")
@@ -207,6 +276,8 @@ def main():
         res = measure(tmp, steps_scale=args.steps_scale, seed=args.seed)
         res_swin = measure_swin(tmp, steps_scale=args.steps_scale,
                                 seed=args.seed)
+        res_vit = measure_vit(tmp, steps_scale=args.steps_scale,
+                              seed=args.seed)
 
     print("\n| knob (eval-time) | online AP | offline AP |")
     print("|---|---|---|")
@@ -224,8 +295,14 @@ def main():
     base_swin = res_swin["swin"]["parity"]
     for name, ap in res_swin["swin"].items():
         print(f"| {name} | {ap:.3f} ({ap - base_swin:+.3f}) |")
+    print("\n| ViT-Adapter knob (eval-time) | segmenter AP |")
+    print("|---|---|")
+    base_vit = res_vit["vit"]["parity"]
+    for name, ap in res_vit["vit"].items():
+        print(f"| {name} | {ap:.3f} ({ap - base_vit:+.3f}) |")
     print()
     res["swin"] = res_swin["swin"]
+    res["vit"] = res_vit["vit"]
     print(json.dumps(res))
 
 
