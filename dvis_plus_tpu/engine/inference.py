@@ -112,9 +112,17 @@ def paged_inference_video(
     return scores, labels, out
 
 
-def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator):
+def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator,
+                      timings: Optional[dict] = None):
     """VIS eval loop: segmenter(+tracker) windows -> post-processing -> top-K
-    masks -> evaluator.process per video."""
+    masks -> evaluator.process per video.
+
+    ``timings`` (optional dict) accumulates per-phase wall seconds across all
+    videos: ``model_s`` (window forwards, sync'd) and ``post_s`` (top-K +
+    device upsample + bit-packed download + host unpack) — the e2e bench uses
+    it to attribute the product-rate/model-rate gap."""
+    import time as _time
+
     arch = cfg.model.meta_architecture
     W_sz = resolve_window_size(cfg)
     topk = cfg.test.max_num
@@ -130,6 +138,7 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
         images = sample["images"]  # (T, H, W, 3) numpy
         T, H, W = images.shape[:3]
 
+        t0 = _time.perf_counter()
         if arch in ("minvis", "ctvis"):
             out = _minvis_video(cfg, model, params, images, window_fns, W_sz)
         elif arch in ("maskformer", "video_maskformer"):
@@ -139,6 +148,8 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
 
         logits, masks, aux = out  # (Q, K+1), (Q, T', H4, W4) with T' >= T
         masks = masks[:, :T]
+        logits = np.asarray(jax.device_get(logits))  # sync: model phase ends
+        t1 = _time.perf_counter()
 
         h, w = [int(v) for v in sample["image_size"]]
         scores, labels, out_masks = paged_inference_video(
@@ -151,6 +162,11 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
             aux_pred_cls=aux,
             chunk=W_sz,
         )
+        if timings is not None:
+            timings["model_s"] = timings.get("model_s", 0.0) + (t1 - t0)
+            timings["post_s"] = (
+                timings.get("post_s", 0.0) + _time.perf_counter() - t1
+            )
         evaluator.process(
             sample.get("video_id", 0),
             {

@@ -31,6 +31,22 @@ def enable_persistent_compilation_cache(path: str = "") -> str | None:
         return None
     import jax
 
+    # MEASURED (round 5, real chip): through the axon TPU relay a cache HIT
+    # is ~5x SLOWER than a fresh compile (271 s vs 51 s for a 2048x2048
+    # matmul executable; the full r50 window executable never finished
+    # loading at all — this hang is what red-carded BENCH_r04). Executable
+    # deserialization is not usable on that PJRT plugin (it reports platform
+    # "tpu" but platform_version names "axon"), so detect it and bail.
+    # DVIS_COMPILE_CACHE_FORCE=1 overrides for probing.
+    backend = jax.devices()[0].client
+    version = getattr(backend, "platform_version", "") or ""
+    if "axon" in version and not os.environ.get("DVIS_COMPILE_CACHE_FORCE"):
+        logger.warning(
+            "persistent XLA compile cache disabled: the axon relay loads "
+            "cached executables slower than it compiles (see jax_cache.py)"
+        )
+        return None
+
     path = os.path.abspath(os.path.expanduser(path))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
