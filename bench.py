@@ -354,7 +354,11 @@ def bench_e2e_eval(arch="dvis_online", n_videos=3, T=40, H=720, W=1280,
     (steady-state product behavior). Also returns a per-phase breakdown
     (decode/model/post/rle seconds per video, averaged over ALL videos incl.
     the compile-absorbing first, except model_s/post_s which are wall across
-    the whole loop) so the product-rate/model-rate gap is attributable."""
+    the whole loop) so the product-rate/model-rate gap is attributable.
+    The eval driver pipelines three stages on threads (decode prefetch ||
+    device windows || post+RLE) and ships masks bit-packed straight into the
+    RLE encoder, so the phase walls OVERLAP — they can sum past the e2e
+    wall, and the e2e rate tracks max(stage), not sum(stage)."""
     import io
     import tempfile
     import time as _t

@@ -319,6 +319,11 @@ class TestConfig:
     # (mask2former_video/utils/memory.py:27-80). Env override:
     # DVIS_OFFLINE_MF_BUDGET_GB.
     offline_mf_budget_gb: float = 4.0
+    # Overlap each video's host post-processing (top-K upsample download +
+    # RLE + evaluator row building) with the NEXT video's device windows via
+    # a single worker thread. Results are identical (one video in flight,
+    # FIFO); costs up to one extra video of eval tensors in HBM.
+    eval_pipeline: bool = True
 
 
 @dataclass

@@ -290,6 +290,7 @@ def run_daq_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
             padded_size=(H, W),
             topk=min(cfg.test.max_num, bucket),
             chunk=resolve_window_size(cfg),
+            packed=True,  # bit-packed straight into the evaluator's RLE
         )
         evaluator.process(
             sample.get("video_id", 0),

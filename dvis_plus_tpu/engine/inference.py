@@ -80,15 +80,24 @@ def paged_inference_video(
     topk: int = 10,
     aux_pred_cls=None,
     chunk: int = 16,
+    packed: bool = False,
 ):
     """Top-K extraction with TIME-CHUNKED upsampling: semantics identical to
     ``minvis.inference_video`` but the (topk, T, out_h, out_w) tensor never
     materializes on device — at OVIS-like T=300+ and 720p output it would be
-    tens of GB. Chunks of ``chunk`` frames upsample on device and land in a
-    host bool array (replacing the reference's retry_if_cuda_oom -> CPU fp32
-    escape hatch around inference_video, meta_architecture.py:704). The
-    per-chunk transfer is bit-packed (8 pixels/byte, see _upsample_pack)."""
+    tens of GB. Chunks of ``chunk`` frames upsample on device and land on the
+    host (replacing the reference's retry_if_cuda_oom -> CPU fp32 escape
+    hatch around inference_video, meta_architecture.py:704). The per-chunk
+    transfer is bit-packed (8 pixels/byte, see _upsample_pack) and pipelined
+    one chunk deep: chunk i+1's gather+upsample dispatches before chunk i's
+    download blocks, so device compute hides behind the transfer.
+
+    ``packed=True`` returns a :class:`dvis_plus_tpu.utils.rle.PackedMasks`
+    instead of a bool array — the eval drivers keep masks bit-packed all the
+    way into the evaluator's RLE encoder (8x less host memory traffic, no
+    unpackbits)."""
     from dvis_plus_tpu.models.meta.minvis import topk_select
+    from dvis_plus_tpu.utils.rle import PackedMasks
 
     scores, labels, queries = topk_select(
         jnp.asarray(mask_cls), topk,
@@ -97,19 +106,60 @@ def paged_inference_video(
     T = mask_pred.shape[1]
     n = int(scores.shape[0])
     oh, ow = int(output_size[0]), int(output_size[1])
-    out = np.zeros((n, T, oh, ow), np.bool_)
+    ow_b = (ow + 7) // 8
+    bits = np.zeros((n, T, oh, ow_b), np.uint8)
     host = isinstance(mask_pred, np.ndarray)
     q_host = np.asarray(queries)
     sizes = (tuple(img_size), (oh, ow), tuple(padded_size))
-    for s0 in range(0, T, chunk):
+
+    def issue(s0: int):
         s1 = min(s0 + chunk, T)
         if host:
             sel = jnp.asarray(mask_pred[:, s0:s1][q_host], jnp.float32)
         else:
             sel = jax.lax.slice_in_dim(mask_pred, s0, s1, axis=1)[queries]
-        packed = np.asarray(_upsample_pack(sel, *sizes))
-        out[:, s0:s1] = np.unpackbits(packed, axis=-1)[..., :ow].astype(bool)
-    return scores, labels, out
+        return s0, s1, _upsample_pack(sel, *sizes)
+
+    pending = None
+    for s0 in list(range(0, T, chunk)) + [None]:
+        nxt = issue(s0) if s0 is not None else None  # dispatch ahead (async)
+        if pending is not None:
+            p0, p1, dev = pending
+            bits[:, p0:p1] = np.asarray(dev)  # blocking download
+        pending = nxt
+
+    pm = PackedMasks(bits, oh, ow)
+    return scores, labels, pm if packed else pm.unpack()
+
+
+def _prefetch(it: Iterator, depth: int = 1) -> Iterator:
+    """Pull ``it`` on a daemon thread, ``depth`` items ahead: the loader's
+    host work (JPEG decode, resize) overlaps the current video's device
+    windows. Exceptions re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    done = object()
+    err: list = []
+
+    def fill():
+        try:
+            for x in it:
+                q.put(x)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            err.append(e)
+        finally:
+            q.put(done)
+
+    threading.Thread(target=fill, daemon=True, name="eval-prefetch").start()
+    while True:
+        x = q.get()
+        if x is done:
+            if err:
+                raise err[0]
+            return
+        yield x
 
 
 def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evaluator,
@@ -119,9 +169,18 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
 
     ``timings`` (optional dict) accumulates per-phase wall seconds across all
     videos: ``model_s`` (window forwards, sync'd) and ``post_s`` (top-K +
-    device upsample + bit-packed download + host unpack) — the e2e bench uses
-    it to attribute the product-rate/model-rate gap."""
+    device upsample + bit-packed download + packed RLE rows) — the e2e bench
+    uses it to attribute the product-rate/model-rate gap. With the pipeline
+    on (``test.eval_pipeline``, default) post_s overlaps the next video's
+    model_s, so the two can sum past the e2e wall.
+
+    Masks stay BIT-PACKED end to end: the device packs 8 pixels/byte
+    (_upsample_pack), and the evaluator RLE-encodes straight from the packed
+    rows (rle.encode_packed) — the (topk, T, out_h, out_w) bool tensor never
+    exists on the host. Each video's post phase runs on a worker thread while
+    the main thread dispatches the next video's windows."""
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
 
     arch = cfg.model.meta_architecture
     W_sz = resolve_window_size(cfg)
@@ -134,23 +193,8 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
 
     window_fns: Dict = {}
 
-    for sample in loader:
-        images = sample["images"]  # (T, H, W, 3) numpy
-        T, H, W = images.shape[:3]
-
-        t0 = _time.perf_counter()
-        if arch in ("minvis", "ctvis"):
-            out = _minvis_video(cfg, model, params, images, window_fns, W_sz)
-        elif arch in ("maskformer", "video_maskformer"):
-            out = _clipformer_video(cfg, model, params, images, window_fns, W_sz)
-        else:
-            out = _online_video(cfg, model, params, images, window_fns, W_sz)
-
-        logits, masks, aux = out  # (Q, K+1), (Q, T', H4, W4) with T' >= T
-        masks = masks[:, :T]
-        logits = np.asarray(jax.device_get(logits))  # sync: model phase ends
+    def post_and_process(sample, logits, masks, aux, H, W):
         t1 = _time.perf_counter()
-
         h, w = [int(v) for v in sample["image_size"]]
         scores, labels, out_masks = paged_inference_video(
             logits,
@@ -161,9 +205,9 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
             topk=topk,
             aux_pred_cls=aux,
             chunk=W_sz,
+            packed=True,
         )
         if timings is not None:
-            timings["model_s"] = timings.get("model_s", 0.0) + (t1 - t0)
             timings["post_s"] = (
                 timings.get("post_s", 0.0) + _time.perf_counter() - t1
             )
@@ -175,6 +219,45 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
                 "pred_masks": out_masks,
             },
         )
+
+    pipeline = bool(getattr(cfg.test, "eval_pipeline", True))
+    executor = ThreadPoolExecutor(max_workers=1) if pipeline else None
+    if pipeline:
+        loader = _prefetch(loader, depth=1)  # decode overlaps device windows
+    pending = None
+    try:
+        for sample in loader:
+            images = sample["images"]  # (T, H, W, 3) numpy
+            T, H, W = images.shape[:3]
+
+            t0 = _time.perf_counter()
+            if arch in ("minvis", "ctvis"):
+                out = _minvis_video(cfg, model, params, images, window_fns, W_sz)
+            elif arch in ("maskformer", "video_maskformer"):
+                out = _clipformer_video(cfg, model, params, images, window_fns, W_sz)
+            else:
+                out = _online_video(cfg, model, params, images, window_fns, W_sz)
+
+            logits, masks, aux = out  # (Q, K+1), (Q, T', H4, W4) with T' >= T
+            masks = masks[:, :T]
+            logits = np.asarray(jax.device_get(logits))  # sync: model phase ends
+            if timings is not None:
+                timings["model_s"] = (
+                    timings.get("model_s", 0.0) + _time.perf_counter() - t0
+                )
+            if executor is None:
+                post_and_process(sample, logits, masks, aux, H, W)
+            else:
+                if pending is not None:
+                    pending.result()  # FIFO depth 1: keeps >=1 video in HBM, not N
+                pending = executor.submit(
+                    post_and_process, sample, logits, masks, aux, H, W
+                )
+        if pending is not None:
+            pending.result()
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=True)
 
 
 def video_logits_masks(cfg: Config, model, params, images, window_fns, W_sz):

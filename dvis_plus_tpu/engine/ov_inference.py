@@ -111,6 +111,7 @@ def run_ov_inference(
             padded_size=(H, W),
             topk=topk,
             chunk=resolve_window_size(cfg),
+            packed=True,  # bit-packed straight into the evaluator's RLE
         )
         evaluator.process(
             sample.get("video_id", 0),

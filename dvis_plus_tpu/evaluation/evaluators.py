@@ -41,21 +41,28 @@ class YTVISEvaluator:
 
     def process(self, video_id: int, output: dict) -> None:
         """output: {"pred_scores": [..], "pred_labels": [..],
-        "pred_masks": [N x (T, H, W) bool]} (instances_to_coco_json_video
-        equivalent, ytvis_eval.py:256-295)."""
-        for score, label, masks in zip(
-            output["pred_scores"], output["pred_labels"], output["pred_masks"]
+        "pred_masks": [N x (T, H, W) bool] OR a bit-packed
+        ``rle.PackedMasks``} (instances_to_coco_json_video equivalent,
+        ytvis_eval.py:256-295). The packed form RLE-encodes straight from
+        the device's bit-packed download (encode_packed) — same bytes, no
+        host unpack."""
+        masks_in = output["pred_masks"]
+        packed = isinstance(masks_in, rle_codec.PackedMasks)
+        for i, (score, label) in enumerate(
+            zip(output["pred_scores"], output["pred_labels"])
         ):
             segs = []
-            for t in range(masks.shape[0]):
-                m = np.asarray(masks[t], np.uint8)
-                if m.any():
-                    e = rle_codec.encode(m)
-                    segs.append(
-                        {"size": e["size"], "counts": e["counts"].decode("ascii")}
-                    )
+            T = masks_in.shape[1] if packed else masks_in[i].shape[0]
+            for t in range(T):
+                if packed:
+                    e = masks_in.encode_frame(i, t) if masks_in.frame_any(i, t) else None
                 else:
-                    segs.append(None)
+                    m = np.asarray(masks_in[i][t], np.uint8)
+                    e = rle_codec.encode(m) if m.any() else None
+                segs.append(
+                    None if e is None else
+                    {"size": e["size"], "counts": e["counts"].decode("ascii")}
+                )
             self._predictions.append(
                 {
                     "video_id": int(video_id),

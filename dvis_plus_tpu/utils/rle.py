@@ -36,6 +36,10 @@ def _load() -> ctypes.CDLL:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.rle_encode.restype = ctypes.c_int64
     lib.rle_encode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u32p]
+    lib.rle_encode_packed.restype = ctypes.c_int64
+    lib.rle_encode_packed.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u32p
+    ]
     lib.rle_decode.restype = None
     lib.rle_decode.argtypes = [u32p, ctypes.c_int64, u8p, ctypes.c_int64]
     lib.rle_area.restype = ctypes.c_uint64
@@ -70,6 +74,64 @@ def encode(mask: np.ndarray) -> Dict:
     buf = ctypes.create_string_buffer(int(6 * m + 1))
     n = lib.rle_to_string(_u32p(cnts), m, buf)
     return {"size": [int(H), int(W)], "counts": buf.raw[:n]}
+
+
+def encode_packed(packed_rows: np.ndarray, h: int, w: int) -> Dict:
+    """ROW-major MSB-first bit-packed mask (h, ceil(w/8)) uint8 (numpy
+    packbits order — what the device's fused upsample->pack emits) -> COCO
+    RLE dict, byte-identical to ``encode(unpackbits(...))`` without ever
+    unpacking: the C++ codec walks columns over the packed bits directly,
+    skipping the h*w bool materialization AND the Fortran-order transpose
+    copy (the two dominant host costs of the eval RLE path)."""
+    lib = _load()
+    packed_rows = np.ascontiguousarray(packed_rows, np.uint8)
+    assert packed_rows.ndim == 2 and packed_rows.shape[0] == h
+    cnts = np.empty(h * w + 1, np.uint32)
+    m = lib.rle_encode_packed(
+        packed_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, packed_rows.shape[1], _u32p(cnts),
+    )
+    buf = ctypes.create_string_buffer(int(6 * m + 1))
+    n = lib.rle_to_string(_u32p(cnts), m, buf)
+    return {"size": [int(h), int(w)], "counts": buf.raw[:n]}
+
+
+class PackedMasks:
+    """A (n, T, H, W) bool mask stack stored bit-packed along W (MSB-first,
+    numpy packbits order): ``bits`` is (n, T, H, ceil(W/8)) uint8. Produced by
+    the eval drivers' fused device-side upsample->threshold->pack download
+    (engine.inference._upsample_pack) and consumed zero-copy by the VIS
+    evaluator via :func:`encode_packed` — masks never unpack on the host on
+    the product eval path (the reference downloads and RLE-encodes full bool
+    tensors, ytvis_eval.py:256-295)."""
+
+    def __init__(self, bits: np.ndarray, height: int, width: int):
+        assert bits.ndim == 4 and bits.dtype == np.uint8
+        self.bits = bits
+        self.height = int(height)
+        self.width = int(width)
+
+    @property
+    def shape(self):
+        return (self.bits.shape[0], self.bits.shape[1], self.height, self.width)
+
+    def frame_any(self, i: int, t: int) -> bool:
+        return bool(self.bits[i, t].any())
+
+    def encode_frame(self, i: int, t: int) -> Dict:
+        return encode_packed(self.bits[i, t], self.height, self.width)
+
+    def unpack(self) -> np.ndarray:
+        """Full (n, T, H, W) bool array (compat/debug path only)."""
+        return np.unpackbits(self.bits, axis=-1)[..., : self.width].astype(bool)
+
+    def __getitem__(self, i):
+        """Per-instance (T, H, W) bool view — keeps the container list-like
+        for consumers that index ``pred_masks`` (demo, tests)."""
+        return np.unpackbits(self.bits[i], axis=-1)[..., : self.width].astype(bool)
+
+    def __len__(self) -> int:
+        return self.bits.shape[0]
 
 
 def decode(rle: Dict) -> np.ndarray:

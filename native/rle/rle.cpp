@@ -48,6 +48,35 @@ int64_t rle_encode(const uint8_t* mask, int64_t h, int64_t w, uint32_t* cnts) {
   return k;
 }
 
+// Encode straight from a ROW-major, MSB-first bit-packed mask (h rows of
+// row_bytes bytes; pixel (r,c) = bit (7-(c&7)) of byte [r*row_bytes + c/8],
+// i.e. numpy packbits/unpackbits order). Produces the same column-major
+// counts as rle_encode on the unpacked mask — the eval hot path downloads
+// masks bit-packed from the device (8 pixels/byte) and encodes them here
+// without ever materializing the h*w bool array or its Fortran transpose.
+// Returns number of counts written; cnts must have capacity h*w+1.
+int64_t rle_encode_packed(const uint8_t* packed, int64_t h, int64_t w,
+                          int64_t row_bytes, uint32_t* cnts) {
+  int64_t k = 0;
+  uint8_t prev = 0;
+  uint32_t run = 0;
+  for (int64_t c = 0; c < w; c++) {
+    const uint8_t* col = packed + (c >> 3);
+    const uint8_t bit = (uint8_t)(1u << (7 - (c & 7)));
+    for (int64_t r = 0; r < h; r++) {
+      uint8_t v = (col[r * row_bytes] & bit) ? 1 : 0;
+      if (v != prev) {
+        cnts[k++] = run;
+        run = 0;
+        prev = v;
+      }
+      run++;
+    }
+  }
+  cnts[k++] = run;
+  return k;
+}
+
 // Decode run counts into a column-major binary mask (h*w bytes).
 void rle_decode(const uint32_t* cnts, int64_t m, uint8_t* mask, int64_t n) {
   uint8_t v = 0;

@@ -156,6 +156,31 @@ def test_evaluate_vis_workers_match_serial():
     assert serial["AP"] > 0
 
 
+def test_ytvis_evaluator_packed_equals_bool(tmp_path):
+    """YTVISEvaluator.process on a bit-packed PackedMasks container must emit
+    byte-identical prediction rows to the bool-array path (the product eval
+    drivers ship packed; results.json must not change)."""
+    from dvis_plus_tpu.evaluation.evaluators import YTVISEvaluator
+
+    rng = np.random.RandomState(7)
+    masks = rng.rand(3, 5, 33, 47) < 0.3
+    masks[1, 2] = False  # an empty frame -> None segmentation
+    scores = [0.9, 0.5, 0.1]
+    labels = [0, 2, 1]
+
+    ev_bool = YTVISEvaluator("synth", str(tmp_path / "a"))
+    ev_bool.process(4, {"pred_scores": scores, "pred_labels": labels,
+                        "pred_masks": masks})
+    ev_packed = YTVISEvaluator("synth", str(tmp_path / "b"))
+    ev_packed.process(4, {
+        "pred_scores": scores, "pred_labels": labels,
+        "pred_masks": rle_codec.PackedMasks(
+            np.packbits(masks, axis=-1), 33, 47),
+    })
+    assert ev_bool._predictions == ev_packed._predictions
+    assert ev_packed._predictions[1]["segmentations"][2] is None
+
+
 def test_vps_evaluator_roundtrip(tmp_path):
     """VPSEvaluator PNG/pred.json output scored against a GT built from the
     SAME maps must be perfect: validates the byte-plane id PNG encoding, the

@@ -140,7 +140,8 @@ def test_long_video_pages_to_host_and_matches(arch, monkeypatch):
 @pytest.mark.slow
 def test_vis_eval_driver_long_video(monkeypatch):
     """run_vis_inference end-to-end on a 48-frame video under a ~zero budget:
-    the evaluator still receives full-length bool masks."""
+    the evaluator still receives full-length masks (bit-packed — the driver
+    keeps masks packed from the device download into the RLE encoder)."""
     from dvis_plus_tpu.engine.inference import run_vis_inference
 
     cfg = _tiny_cfg("dvis_online")
@@ -169,6 +170,10 @@ def test_vis_eval_driver_long_video(monkeypatch):
     sink = Sink()
     run_vis_inference(cfg, model, params, iter([sample]), sink)
     (out,) = sink.outputs
-    assert out["pred_masks"].shape == (5, T, 30, 40)
-    assert out["pred_masks"].dtype == np.bool_
+    from dvis_plus_tpu.utils.rle import PackedMasks
+
+    pm = out["pred_masks"]
+    assert isinstance(pm, PackedMasks)
+    assert pm.shape == (5, T, 30, 40)
+    assert pm.unpack().dtype == np.bool_
     assert len(out["pred_scores"]) == 5

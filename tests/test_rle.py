@@ -69,6 +69,45 @@ def test_string_counts_codec_large_runs():
     np.testing.assert_array_equal(rle.decode(enc), m)
 
 
+def _pack_rows(m: np.ndarray) -> np.ndarray:
+    """numpy packbits along width, MSB-first — mirrors the device's fused
+    upsample->pack layout (engine.inference._upsample_pack)."""
+    return np.packbits(m.astype(np.uint8), axis=-1)
+
+
+def test_encode_packed_matches_encode():
+    """encode_packed must be BYTE-identical to encode on the unpacked mask —
+    the eval product path ships its output into results.json."""
+    rng = np.random.RandomState(5)
+    for H, W in [(37, 23), (16, 16), (7, 8), (9, 1), (1, 9), (64, 65), (720, 1283)]:
+        m = (rng.rand(H, W) < 0.3).astype(np.uint8)
+        ref = rle.encode(m)
+        got = rle.encode_packed(_pack_rows(m), H, W)
+        assert got["size"] == ref["size"]
+        assert got["counts"] == ref["counts"], (H, W)
+
+
+def test_encode_packed_empty_full():
+    for m in [np.zeros((12, 19), np.uint8), np.ones((12, 19), np.uint8)]:
+        assert rle.encode_packed(_pack_rows(m), 12, 19)["counts"] == \
+            rle.encode(m)["counts"]
+
+
+def test_packed_masks_container():
+    rng = np.random.RandomState(6)
+    masks = (rng.rand(3, 4, 21, 30) < 0.4)
+    pm = rle.PackedMasks(np.packbits(masks, axis=-1), 21, 30)
+    assert pm.shape == (3, 4, 21, 30)
+    np.testing.assert_array_equal(pm.unpack(), masks)
+    np.testing.assert_array_equal(pm[1], masks[1])
+    assert len(pm) == 3
+    for i in range(3):
+        for t in range(4):
+            assert pm.frame_any(i, t) == masks[i, t].any()
+            assert pm.encode_frame(i, t)["counts"] == \
+                rle.encode(masks[i, t].astype(np.uint8))["counts"]
+
+
 def test_uncompressed_counts_accepted():
     m = np.zeros((4, 4), np.uint8)
     m[1:3, 1:3] = 1
