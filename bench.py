@@ -511,8 +511,8 @@ def main():
             "segmenter+tracker windows, refiner, mask head, top-K "
             "post-processing to 720p (device; host mask download excluded - "
             "relay-bound, not chip-bound); e2e_* rows are the FULL product "
-            "loop (JPEG decode -> model -> bit-packed mask download -> "
-            "native RLE -> results.json)"
+            "loop (JPEG decode -> model -> on-device RLE run-boundary "
+            "extraction -> native RLE counts -> results.json)"
         ),
         "device": str(jax.devices()[0]),
         "section_s": {},

@@ -324,6 +324,16 @@ class TestConfig:
     # a single worker thread. Results are identical (one video in flight,
     # FIFO); costs up to one extra video of eval tensors in HBM.
     eval_pipeline: bool = True
+    # Device->host representation of the top-K eval masks
+    # (engine/inference.py::paged_inference_video): "runs" extracts the RLE
+    # run boundaries ON DEVICE and downloads only change positions
+    # (~2*rle_col_k+2 bytes/column; columns with more transitions fall back
+    # to packed, byte-identical either way); "packed" downloads bit-packed
+    # pixels (8/byte). The reference downloads full fp16/bool tensors
+    # (meta_architecture.py:704).
+    mask_download: str = "runs"
+    # Per-column transition capacity of the "runs" download.
+    rle_col_k: int = 8
 
 
 @dataclass

@@ -290,7 +290,9 @@ def run_daq_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
             padded_size=(H, W),
             topk=min(cfg.test.max_num, bucket),
             chunk=resolve_window_size(cfg),
-            packed=True,  # bit-packed straight into the evaluator's RLE
+            # run boundaries / packed bits straight into the evaluator's RLE
+            download=getattr(cfg.test, "mask_download", "runs"),
+            k_col=getattr(cfg.test, "rle_col_k", 8),
         )
         evaluator.process(
             sample.get("video_id", 0),

@@ -64,11 +64,53 @@ def _upsample_pack(sel, img_size, output_size, padded_size):
     from dvis_plus_tpu.models.meta.minvis import upsample_masks
 
     up = upsample_masks(sel, img_size, output_size, padded_size)
-    W = up.shape[-1]
-    up = jnp.pad(up, ((0, 0), (0, 0), (0, 0), (0, (-W) % 8)))
-    bits = up.reshape(up.shape[:-1] + (-1, 8)).astype(jnp.int32)
+    return _packbits(up)
+
+
+def _packbits(x):
+    """MSB-first bit-pack along the last axis (numpy packbits order)."""
+    W = x.shape[-1]
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, (-W) % 8)])
+    bits = x.reshape(x.shape[:-1] + (-1, 8)).astype(jnp.int32)
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
     return (bits * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_size", "output_size", "padded_size", "k_col"),
+)
+def _upsample_runs(sel, img_size, output_size, padded_size, k_col):
+    """Fused upsample -> threshold -> RLE RUN-BOUNDARY extraction: instead of
+    downloading mask pixels at all, the device finds, per column of the
+    (n, t, out_h, out_w) bool masks, the ascending rows where the column's
+    value changes (top-k over the transition map), the packed cross-column
+    change bits, and pixel (0,0) — everything the COCO column-major RLE
+    needs (utils/rle.py::encode_colruns rebuilds exact counts in C++).
+    Off-chip bytes drop from out_h/8 per column (bit-packed) to ~2*k_col+2:
+    ~6x at 720p with k_col=8 — the eval product loop's device->host
+    transfer becomes O(mask boundary), not O(mask area). Columns with more
+    than k_col transitions are flagged via m_col and fall back to the packed
+    download for that frame (byte-identical either way, tested)."""
+    from dvis_plus_tpu.models.meta.minvis import upsample_masks
+
+    up = upsample_masks(sel, img_size, output_size, padded_size)  # bool
+    H, W = up.shape[-2], up.shape[-1]
+    colmaj = jnp.swapaxes(up, -1, -2)  # (n, t, W, H)
+    d = colmaj[..., 1:] != colmaj[..., :-1]  # (n, t, W, H-1)
+    m_col = d.sum(-1).astype(jnp.uint16)
+    change_rows = jnp.arange(1, H, dtype=jnp.int32)
+    keys = jnp.where(d, -change_rows, -(H + 1))
+    top = jax.lax.top_k(keys, min(k_col, H - 1))[0]  # descending = -ascending
+    rows = (-top).astype(jnp.uint16)  # invalid slots read H+1, masked by m_col
+    jump = jnp.concatenate(
+        [
+            jnp.zeros(up.shape[:2] + (1,), bool),
+            colmaj[..., 1:, 0] != colmaj[..., :-1, H - 1],
+        ],
+        axis=-1,
+    )  # (n, t, W): bit c = value change across the c-1 -> c column boundary
+    return rows, m_col, _packbits(jump), up[..., 0, 0]
 
 
 def paged_inference_video(
@@ -81,23 +123,39 @@ def paged_inference_video(
     aux_pred_cls=None,
     chunk: int = 16,
     packed: bool = False,
+    download: Optional[str] = None,
+    k_col: int = 8,
 ):
     """Top-K extraction with TIME-CHUNKED upsampling: semantics identical to
     ``minvis.inference_video`` but the (topk, T, out_h, out_w) tensor never
     materializes on device — at OVIS-like T=300+ and 720p output it would be
     tens of GB. Chunks of ``chunk`` frames upsample on device and land on the
     host (replacing the reference's retry_if_cuda_oom -> CPU fp32 escape
-    hatch around inference_video, meta_architecture.py:704). The per-chunk
-    transfer is bit-packed (8 pixels/byte, see _upsample_pack) and pipelined
-    one chunk deep: chunk i+1's gather+upsample dispatches before chunk i's
+    hatch around inference_video, meta_architecture.py:704), pipelined one
+    chunk deep: chunk i+1's gather+upsample dispatches before chunk i's
     download blocks, so device compute hides behind the transfer.
 
-    ``packed=True`` returns a :class:`dvis_plus_tpu.utils.rle.PackedMasks`
-    instead of a bool array — the eval drivers keep masks bit-packed all the
-    way into the evaluator's RLE encoder (8x less host memory traffic, no
-    unpackbits)."""
+    ``download`` picks the device->host representation (``test.mask_download``):
+      - ``"runs"`` (product default): the device extracts the RLE run
+        boundaries themselves (_upsample_runs) and only change positions
+        leave the chip (~2*k_col+2 bytes/column); frames where a column
+        overflows ``k_col`` transitions transparently re-download bit-packed
+        (byte-identical outputs either way). Returns a
+        :class:`dvis_plus_tpu.utils.rle.ColRunMasks`.
+      - ``"packed"``: bit-packed pixels, 8/byte (_upsample_pack). Returns a
+        :class:`dvis_plus_tpu.utils.rle.PackedMasks`.
+      - ``None``: legacy flag form — ``packed=True`` = "packed",
+        ``packed=False`` = "packed" then unpacked to a (n, T, H, W) bool
+        array on the host.
+    Either container RLE-encodes straight into the evaluator's rows with no
+    host-side unpack (8-50x less host traffic than the reference's full
+    bool download, ytvis_eval.py:256-295)."""
     from dvis_plus_tpu.models.meta.minvis import topk_select
-    from dvis_plus_tpu.utils.rle import PackedMasks
+    from dvis_plus_tpu.utils.rle import ColRunMasks, PackedMasks
+
+    want_array = download is None and not packed
+    mode = download or "packed"
+    assert mode in ("runs", "packed"), mode
 
     scores, labels, queries = topk_select(
         jnp.asarray(mask_cls), topk,
@@ -107,29 +165,61 @@ def paged_inference_video(
     n = int(scores.shape[0])
     oh, ow = int(output_size[0]), int(output_size[1])
     ow_b = (ow + 7) // 8
-    bits = np.zeros((n, T, oh, ow_b), np.uint8)
     host = isinstance(mask_pred, np.ndarray)
     q_host = np.asarray(queries)
     sizes = (tuple(img_size), (oh, ow), tuple(padded_size))
+    if oh < 2:  # degenerate: no within-column transitions to extract
+        mode = "packed"
+
+    def select(s0: int, s1: int):
+        if host:
+            return jnp.asarray(mask_pred[:, s0:s1][q_host], jnp.float32)
+        return jax.lax.slice_in_dim(mask_pred, s0, s1, axis=1)[queries]
 
     def issue(s0: int):
         s1 = min(s0 + chunk, T)
-        if host:
-            sel = jnp.asarray(mask_pred[:, s0:s1][q_host], jnp.float32)
-        else:
-            sel = jax.lax.slice_in_dim(mask_pred, s0, s1, axis=1)[queries]
+        sel = select(s0, s1)
+        if mode == "runs":
+            return s0, s1, _upsample_runs(sel, *sizes, k_col=k_col)
         return s0, s1, _upsample_pack(sel, *sizes)
+
+    if mode == "runs":
+        k_eff = min(k_col, oh - 1)
+        rows = np.zeros((n, T, ow, k_eff), np.uint16)
+        m_col = np.zeros((n, T, ow), np.uint16)
+        jumps = np.zeros((n, T, ow_b), np.uint8)
+        first = np.zeros((n, T), bool)
+    else:
+        bits = np.zeros((n, T, oh, ow_b), np.uint8)
 
     pending = None
     for s0 in list(range(0, T, chunk)) + [None]:
         nxt = issue(s0) if s0 is not None else None  # dispatch ahead (async)
         if pending is not None:
             p0, p1, dev = pending
-            bits[:, p0:p1] = np.asarray(dev)  # blocking download
+            if mode == "runs":
+                r, m, j, f = dev  # blocking downloads
+                rows[:, p0:p1] = np.asarray(r)
+                m_col[:, p0:p1] = np.asarray(m)
+                jumps[:, p0:p1] = np.asarray(j)
+                first[:, p0:p1] = np.asarray(f)
+            else:
+                bits[:, p0:p1] = np.asarray(dev)  # blocking download
         pending = nxt
 
-    pm = PackedMasks(bits, oh, ow)
-    return scores, labels, pm if packed else pm.unpack()
+    if mode == "runs":
+        fallback = {}
+        over = m_col.max(axis=-1) > k_eff  # (n, T) frames needing pixels
+        for t0 in sorted({int(t) // chunk * chunk
+                          for _, t in np.argwhere(over)}):
+            t1 = min(t0 + chunk, T)
+            pk = np.asarray(_upsample_pack(select(t0, t1), *sizes))
+            for i, t in np.argwhere(over[:, t0:t1]):
+                fallback[(int(i), int(t) + t0)] = pk[i, t]
+        out = ColRunMasks(rows, m_col, jumps, first, oh, ow, fallback)
+    else:
+        out = PackedMasks(bits, oh, ow)
+    return scores, labels, out.unpack() if want_array else out
 
 
 def _prefetch(it: Iterator, depth: int = 1) -> Iterator:
@@ -174,11 +264,13 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
     on (``test.eval_pipeline``, default) post_s overlaps the next video's
     model_s, so the two can sum past the e2e wall.
 
-    Masks stay BIT-PACKED end to end: the device packs 8 pixels/byte
-    (_upsample_pack), and the evaluator RLE-encodes straight from the packed
-    rows (rle.encode_packed) — the (topk, T, out_h, out_w) bool tensor never
-    exists on the host. Each video's post phase runs on a worker thread while
-    the main thread dispatches the next video's windows."""
+    Mask pixels never leave the device on the default path
+    (test.mask_download="runs"): the device extracts the RLE run boundaries
+    (_upsample_runs) and the evaluator rebuilds exact COCO counts from the
+    downloaded change positions (rle.encode_colruns) — the
+    (topk, T, out_h, out_w) tensor exists NOWHERE, device or host. Each
+    video's post phase runs on a worker thread while the main thread
+    dispatches the next video's windows."""
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -205,7 +297,8 @@ def run_vis_inference(cfg: Config, model, params, loader: Iterator[dict], evalua
             topk=topk,
             aux_pred_cls=aux,
             chunk=W_sz,
-            packed=True,
+            download=getattr(cfg.test, "mask_download", "runs"),
+            k_col=getattr(cfg.test, "rle_col_k", 8),
         )
         if timings is not None:
             timings["post_s"] = (

@@ -111,7 +111,9 @@ def run_ov_inference(
             padded_size=(H, W),
             topk=topk,
             chunk=resolve_window_size(cfg),
-            packed=True,  # bit-packed straight into the evaluator's RLE
+            # run boundaries / packed bits straight into the evaluator's RLE
+            download=getattr(cfg.test, "mask_download", "runs"),
+            k_col=getattr(cfg.test, "rle_col_k", 8),
         )
         evaluator.process(
             sample.get("video_id", 0),

@@ -47,7 +47,7 @@ class YTVISEvaluator:
         the device's bit-packed download (encode_packed) — same bytes, no
         host unpack."""
         masks_in = output["pred_masks"]
-        packed = isinstance(masks_in, rle_codec.PackedMasks)
+        packed = hasattr(masks_in, "encode_frame")  # PackedMasks/ColRunMasks
         for i, (score, label) in enumerate(
             zip(output["pred_scores"], output["pred_labels"])
         ):

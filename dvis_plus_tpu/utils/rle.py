@@ -40,6 +40,12 @@ def _load() -> ctypes.CDLL:
     lib.rle_encode_packed.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u32p
     ]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.rle_from_colruns.restype = ctypes.c_int64
+    lib.rle_from_colruns.argtypes = [
+        u16p, u16p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, u32p,
+    ]
     lib.rle_decode.restype = None
     lib.rle_decode.argtypes = [u32p, ctypes.c_int64, u8p, ctypes.c_int64]
     lib.rle_area.restype = ctypes.c_uint64
@@ -94,6 +100,107 @@ def encode_packed(packed_rows: np.ndarray, h: int, w: int) -> Dict:
     buf = ctypes.create_string_buffer(int(6 * m + 1))
     n = lib.rle_to_string(_u32p(cnts), m, buf)
     return {"size": [int(h), int(w)], "counts": buf.raw[:n]}
+
+
+def _counts_to_rle(cnts: np.ndarray, m: int, h: int, w: int) -> Dict:
+    lib = _load()
+    buf = ctypes.create_string_buffer(int(6 * m + 1))
+    n = lib.rle_to_string(_u32p(cnts), m, buf)
+    return {"size": [int(h), int(w)], "counts": buf.raw[:n]}
+
+
+def encode_colruns(rows: np.ndarray, m_col: np.ndarray, jumps: np.ndarray,
+                   first: bool, h: int, w: int) -> Optional[Dict]:
+    """Per-column change rows (w, k) uint16 + per-column counts (w,) uint16 +
+    MSB-first packed column-boundary bits + pixel(0,0) value -> COCO RLE
+    dict, byte-identical to ``encode`` on the mask they describe (the device
+    extracts them in engine/inference.py::_upsample_runs). Returns None when
+    some column overflows k transitions (caller falls back to the packed
+    row download for this frame)."""
+    lib = _load()
+    rows = np.ascontiguousarray(rows, np.uint16)
+    m_col = np.ascontiguousarray(m_col, np.uint16)
+    jumps = np.ascontiguousarray(jumps, np.uint8)
+    cnts = np.empty(h * w + 1, np.uint32)
+    m = lib.rle_from_colruns(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        m_col.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        jumps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(bool(first)), h, w, rows.shape[-1], _u32p(cnts),
+    )
+    if m < 0:
+        return None
+    return _counts_to_rle(cnts, m, h, w)
+
+
+class ColRunMasks:
+    """A (n, T, H, W) bool mask stack stored as per-column RUN BOUNDARIES:
+    for each (instance, frame, column) the ascending rows (1..H-1) where the
+    column's value changes (``rows`` (n, T, W, k) uint16, valid prefix length
+    ``m_col`` (n, T, W)), the packed cross-column change bits ``jumps``
+    (n, T, ceil(W/8)), and pixel (0,0) in ``first`` (n, T). Produced by the
+    eval drivers' device-side run extraction (~k*2 bytes/column off-chip vs
+    H/8 bit-packed vs H bool — the reference downloads full fp16/bool mask
+    tensors, meta_architecture.py:704 + ytvis_eval.py:256-295) and consumed
+    by the evaluator via :func:`encode_colruns` without ever materializing
+    the mask. Frames where a column overflows k transitions carry a packed
+    (H, ceil(W/8)) row in ``fallback`` and encode via :func:`encode_packed`
+    — output bytes are identical either way (tested)."""
+
+    def __init__(self, rows: np.ndarray, m_col: np.ndarray, jumps: np.ndarray,
+                 first: np.ndarray, height: int, width: int,
+                 fallback: Optional[Dict] = None):
+        assert rows.ndim == 4 and rows.dtype == np.uint16
+        self.rows, self.m_col, self.jumps = rows, m_col, jumps
+        self.first = first
+        self.height, self.width = int(height), int(width)
+        self.k = rows.shape[-1]
+        self.fallback = fallback or {}  # {(i, t): (H, ceil(W/8)) uint8}
+        self._any = (
+            first.astype(bool)
+            | (m_col.sum(-1, dtype=np.int64) > 0)
+            | (jumps != 0).any(-1)
+        )
+
+    @property
+    def shape(self):
+        return (self.rows.shape[0], self.rows.shape[1], self.height, self.width)
+
+    def frame_any(self, i: int, t: int) -> bool:
+        return bool(self._any[i, t])
+
+    def encode_frame(self, i: int, t: int) -> Dict:
+        fb = self.fallback.get((i, t))
+        if fb is not None:
+            return encode_packed(fb, self.height, self.width)
+        e = encode_colruns(
+            self.rows[i, t], self.m_col[i, t], self.jumps[i, t],
+            bool(self.first[i, t]), self.height, self.width,
+        )
+        assert e is not None, "overflow frame missing its packed fallback row"
+        return e
+
+    def unpack(self) -> np.ndarray:
+        """Full (n, T, H, W) bool array (compat/debug path only)."""
+        n, T = self.rows.shape[:2]
+        out = np.zeros((n, T, self.height, self.width), bool)
+        for i in range(n):
+            for t in range(T):
+                if self._any[i, t]:
+                    out[i, t] = decode(self.encode_frame(i, t)).astype(bool)
+        return out
+
+    def __getitem__(self, i):
+        """Per-instance (T, H, W) bool view (demo/tests)."""
+        T = self.rows.shape[1]
+        out = np.zeros((T, self.height, self.width), bool)
+        for t in range(T):
+            if self._any[i, t]:
+                out[t] = decode(self.encode_frame(i, t)).astype(bool)
+        return out
+
+    def __len__(self) -> int:
+        return self.rows.shape[0]
 
 
 class PackedMasks:

@@ -77,6 +77,44 @@ int64_t rle_encode_packed(const uint8_t* packed, int64_t h, int64_t w,
   return k;
 }
 
+// Rebuild column-major run counts from per-column change rows extracted ON
+// THE ACCELERATOR (engine/inference.py::_upsample_runs): for each of the w
+// columns, `mcol[c]` within-column transition rows (ascending, 1..h-1) in
+// `rows[c*k .. c*k+mcol[c])`, plus one MSB-first packed bit per column in
+// `jumps` marking a value change across the column boundary (pixel (0,c) vs
+// (h-1,c-1); bit 0 unused), plus `first` = value of pixel (0,0). Change
+// positions are emitted in increasing column-major order, so counts build in
+// one pass without ever materializing the mask — the accelerator downloads
+// ~k*2 bytes per column instead of h/8 (the packed path) or h (bool).
+// Returns number of counts written (capacity h*w+1 suffices), or -1 if some
+// column has more than k transitions (caller falls back to a packed
+// download for this frame).
+int64_t rle_from_colruns(const uint16_t* rows, const uint16_t* mcol,
+                         const uint8_t* jumps, int64_t first, int64_t h,
+                         int64_t w, int64_t k, uint32_t* cnts) {
+  const int64_t n = h * w;
+  int64_t out = 0;
+  uint32_t last = 0;  // column-major position of the previous value change
+  if (first) cnts[out++] = 0;  // zero-length leading 0-run
+  for (int64_t c = 0; c < w; c++) {
+    if (c > 0 && (jumps[c >> 3] & (uint8_t)(1u << (7 - (c & 7))))) {
+      uint32_t p = (uint32_t)(c * h);
+      cnts[out++] = p - last;
+      last = p;
+    }
+    int64_t m = mcol[c];
+    if (m > k) return -1;
+    const uint16_t* r = rows + c * k;
+    for (int64_t j = 0; j < m; j++) {
+      uint32_t p = (uint32_t)(c * h + r[j]);
+      cnts[out++] = p - last;
+      last = p;
+    }
+  }
+  cnts[out++] = (uint32_t)(n - last);
+  return out;
+}
+
 // Decode run counts into a column-major binary mask (h*w bytes).
 void rle_decode(const uint32_t* cnts, int64_t m, uint8_t* mask, int64_t n) {
   uint8_t v = 0;

@@ -180,6 +180,30 @@ def test_ytvis_evaluator_packed_equals_bool(tmp_path):
     assert ev_bool._predictions == ev_packed._predictions
     assert ev_packed._predictions[1]["segmentations"][2] is None
 
+    # the run-boundary container (device-side RLE extraction) must match too
+    n, T, H, W = masks.shape
+    k = 40
+    rows = np.zeros((n, T, W, k), np.uint16)
+    m_col = np.zeros((n, T, W), np.uint16)
+    jumps = np.zeros((n, T, (W + 7) // 8), np.uint8)
+    first = np.zeros((n, T), bool)
+    for i in range(n):
+        for t in range(T):
+            for c in range(W):
+                ch = np.flatnonzero(masks[i, t, 1:, c] != masks[i, t, :-1, c]) + 1
+                m_col[i, t, c] = len(ch)
+                rows[i, t, c, : len(ch)] = ch
+            jb = np.zeros(W, np.uint8)
+            jb[1:] = masks[i, t, 0, 1:] != masks[i, t, H - 1, :-1]
+            jumps[i, t] = np.packbits(jb)
+            first[i, t] = masks[i, t, 0, 0]
+    ev_runs = YTVISEvaluator("synth", str(tmp_path / "c"))
+    ev_runs.process(4, {
+        "pred_scores": scores, "pred_labels": labels,
+        "pred_masks": rle_codec.ColRunMasks(rows, m_col, jumps, first, H, W),
+    })
+    assert ev_bool._predictions == ev_runs._predictions
+
 
 def test_vps_evaluator_roundtrip(tmp_path):
     """VPSEvaluator PNG/pred.json output scored against a GT built from the

@@ -87,6 +87,37 @@ def test_paged_inference_video_matches_one_shot():
         np.testing.assert_array_equal(out, np.asarray(ref.masks))
 
 
+@pytest.mark.parametrize("k_col", [8, 1])
+def test_paged_inference_video_runs_equals_packed(k_col):
+    """The device-side run-boundary download ("runs") yields the SAME RLE
+    rows as the packed-pixel download — k_col=1 forces the per-frame packed
+    fallback on (almost) every frame, exercising the overflow path."""
+    from dvis_plus_tpu.utils.rle import ColRunMasks
+
+    rng = np.random.RandomState(3)
+    Q, K1, T = 12, 6, 11
+    logits = jnp.asarray(rng.randn(Q, K1).astype(np.float32))
+    masks = rng.randn(Q, T, 16, 16).astype(np.float32)
+    kw = dict(img_size=(60, 60), output_size=(37, 53), padded_size=(64, 64), topk=7)
+
+    _, _, pk = paged_inference_video(
+        logits, jnp.asarray(masks), chunk=4, download="packed", **kw
+    )
+    _, _, cr = paged_inference_video(
+        logits, jnp.asarray(masks), chunk=4, download="runs", k_col=k_col, **kw
+    )
+    assert isinstance(cr, ColRunMasks)
+    if k_col == 1:
+        assert cr.fallback, "k_col=1 should force packed fallbacks"
+    np.testing.assert_array_equal(cr.unpack(), pk.unpack())
+    for i in range(7):
+        for t in range(T):
+            assert cr.frame_any(i, t) == pk.frame_any(i, t)
+            if cr.frame_any(i, t):
+                assert cr.encode_frame(i, t)["counts"] == \
+                    pk.encode_frame(i, t)["counts"], (i, t, k_col)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("arch", ["minvis", "dvis_online", "dvis_offline"])
 def test_long_video_pages_to_host_and_matches(arch, monkeypatch):
@@ -140,8 +171,8 @@ def test_long_video_pages_to_host_and_matches(arch, monkeypatch):
 @pytest.mark.slow
 def test_vis_eval_driver_long_video(monkeypatch):
     """run_vis_inference end-to-end on a 48-frame video under a ~zero budget:
-    the evaluator still receives full-length masks (bit-packed — the driver
-    keeps masks packed from the device download into the RLE encoder)."""
+    the evaluator still receives full-length masks (run-boundary form — the
+    driver never downloads mask pixels on the default path)."""
     from dvis_plus_tpu.engine.inference import run_vis_inference
 
     cfg = _tiny_cfg("dvis_online")
@@ -170,10 +201,10 @@ def test_vis_eval_driver_long_video(monkeypatch):
     sink = Sink()
     run_vis_inference(cfg, model, params, iter([sample]), sink)
     (out,) = sink.outputs
-    from dvis_plus_tpu.utils.rle import PackedMasks
+    from dvis_plus_tpu.utils.rle import ColRunMasks
 
     pm = out["pred_masks"]
-    assert isinstance(pm, PackedMasks)
+    assert isinstance(pm, ColRunMasks)
     assert pm.shape == (5, T, 30, 40)
     assert pm.unpack().dtype == np.bool_
     assert len(out["pred_scores"]) == 5

@@ -108,6 +108,78 @@ def test_packed_masks_container():
                 rle.encode(masks[i, t].astype(np.uint8))["counts"]
 
 
+def _colruns_of(m: np.ndarray, k: int):
+    """Numpy twin of the device run extraction
+    (engine.inference._upsample_runs) for codec tests."""
+    H, W = m.shape
+    m = m.astype(bool)
+    rows = np.zeros((W, k), np.uint16)
+    m_col = np.zeros(W, np.uint16)
+    for c in range(W):
+        ch = np.flatnonzero(m[1:, c] != m[:-1, c]) + 1
+        m_col[c] = len(ch)
+        rows[c, : min(len(ch), k)] = ch[:k]
+    jumps = np.zeros(W, np.uint8)
+    jumps[1:] = m[0, 1:] != m[H - 1, :-1]
+    return rows, m_col, np.packbits(jumps), bool(m[0, 0])
+
+
+def test_encode_colruns_matches_encode():
+    """encode_colruns must be BYTE-identical to encode on the mask the run
+    boundaries describe — the product eval path downloads only these
+    boundaries from the device and ships the result into results.json."""
+    rng = np.random.RandomState(7)
+    for H, W in [(37, 23), (16, 16), (7, 8), (9, 1), (64, 65), (240, 427)]:
+        for p in (0.02, 0.3, 0.7):
+            m = (rng.rand(H, W) < p).astype(np.uint8)
+            ref = rle.encode(m)
+            got = rle.encode_colruns(*_colruns_of(m, H), H, W)
+            assert got is not None
+            assert got["size"] == ref["size"]
+            assert got["counts"] == ref["counts"], (H, W, p)
+    for m in [np.zeros((12, 19), np.uint8), np.ones((12, 19), np.uint8)]:
+        got = rle.encode_colruns(*_colruns_of(m, 8), 12, 19)
+        assert got["counts"] == rle.encode(m)["counts"]
+
+
+def test_encode_colruns_overflow_returns_none():
+    m = (np.arange(32)[:, None] % 2 == 0).astype(np.uint8) * np.ones((1, 5), np.uint8)
+    rows, m_col, jumps, first = _colruns_of(m, 8)  # 31 transitions per column
+    assert m_col.max() > 8
+    assert rle.encode_colruns(rows[:, :8], m_col, jumps, first, 32, 5) is None
+
+
+def test_colrun_masks_container():
+    rng = np.random.RandomState(8)
+    masks = rng.rand(3, 4, 21, 30) < 0.4
+    k = 24  # >= max transitions per column here
+    n, T, H, W = masks.shape
+    rows = np.zeros((n, T, W, k), np.uint16)
+    m_col = np.zeros((n, T, W), np.uint16)
+    jumps = np.zeros((n, T, (W + 7) // 8), np.uint8)
+    first = np.zeros((n, T), bool)
+    for i in range(n):
+        for t in range(T):
+            rows[i, t], m_col[i, t], jumps[i, t], first[i, t] = _colruns_of(
+                masks[i, t], k
+            )
+    cm = rle.ColRunMasks(rows, m_col, jumps, first, H, W)
+    assert cm.shape == (n, T, H, W)
+    np.testing.assert_array_equal(cm.unpack(), masks)
+    np.testing.assert_array_equal(cm[1], masks[1])
+    assert len(cm) == n
+    for i in range(n):
+        for t in range(T):
+            assert cm.frame_any(i, t) == masks[i, t].any()
+            assert cm.encode_frame(i, t)["counts"] == \
+                rle.encode(masks[i, t].astype(np.uint8))["counts"]
+    # a frame with its packed fallback row encodes identically through it
+    fb = {(0, 0): np.packbits(masks[0, 0], axis=-1)}
+    cm2 = rle.ColRunMasks(rows, m_col, jumps, first, H, W, fallback=fb)
+    assert cm2.encode_frame(0, 0)["counts"] == \
+        rle.encode(masks[0, 0].astype(np.uint8))["counts"]
+
+
 def test_uncompressed_counts_accepted():
     m = np.zeros((4, 4), np.uint8)
     m[1:3, 1:3] = 1
