@@ -96,21 +96,37 @@ def _upsample_runs(sel, img_size, output_size, padded_size, k_col):
 
     up = upsample_masks(sel, img_size, output_size, padded_size)  # bool
     H, W = up.shape[-2], up.shape[-1]
-    colmaj = jnp.swapaxes(up, -1, -2)  # (n, t, W, H)
-    d = colmaj[..., 1:] != colmaj[..., :-1]  # (n, t, W, H-1)
-    m_col = d.sum(-1).astype(jnp.uint16)
-    change_rows = jnp.arange(1, H, dtype=jnp.int32)
-    keys = jnp.where(d, -change_rows, -(H + 1))
-    top = jax.lax.top_k(keys, min(k_col, H - 1))[0]  # descending = -ascending
-    rows = (-top).astype(jnp.uint16)  # invalid slots read H+1, masked by m_col
+    d = up[..., 1:, :] != up[..., :-1, :]  # (n, t, H-1, W) column transitions
+    m_col = d.sum(-2).astype(jnp.uint16)
+    # k smallest change rows per column by unrolled min-extraction: pure
+    # elementwise selects + reductions on the VPU, laid out along the native
+    # H axis (lax.top_k at this batch*row shape is catastrophically slow on
+    # TPU, measured minutes vs ms; no transpose, no sort, no scatter).
+    pos = jnp.arange(1, H, dtype=jnp.int16)[:, None]  # (H-1, 1); H < 32767
+    big = jnp.int16(H + 1)
+    keys = jnp.where(d, pos, big)
+    picks = []
+    for _ in range(min(k_col, H - 1)):
+        m = keys.min(-2)  # (n, t, W): next-smallest change row per column
+        picks.append(m)
+        keys = jnp.where(keys == m[..., None, :], big, keys)
+    rows = jnp.stack(picks, axis=-1).astype(jnp.uint16)  # invalid slots H+1
     jump = jnp.concatenate(
         [
             jnp.zeros(up.shape[:2] + (1,), bool),
-            colmaj[..., 1:, 0] != colmaj[..., :-1, H - 1],
+            up[..., 0, 1:] != up[..., H - 1, :-1],
         ],
         axis=-1,
     )  # (n, t, W): bit c = value change across the c-1 -> c column boundary
-    return rows, m_col, _packbits(jump), up[..., 0, 0]
+    # ONE download buffer per chunk (4 small pulls through the relay cost 4
+    # latency round-trips racing the next window's dispatch stream):
+    # [..., :k] = change rows, [..., k] = m_col, [..., k+1] = jump bit, with
+    # pixel(0,0) stashed in bit 1 of column 0's jump slot (its jump bit is
+    # structurally 0).
+    payload = jnp.concatenate(
+        [rows, m_col[..., None], jump.astype(jnp.uint16)[..., None]], axis=-1
+    )
+    return payload.at[..., 0, -1].add(up[..., 0, 0].astype(jnp.uint16) * 2)
 
 
 def paged_inference_video(
@@ -198,11 +214,14 @@ def paged_inference_video(
         if pending is not None:
             p0, p1, dev = pending
             if mode == "runs":
-                r, m, j, f = dev  # blocking downloads
-                rows[:, p0:p1] = np.asarray(r)
-                m_col[:, p0:p1] = np.asarray(m)
-                jumps[:, p0:p1] = np.asarray(j)
-                first[:, p0:p1] = np.asarray(f)
+                pay = np.asarray(dev)  # ONE blocking download per chunk
+                rows[:, p0:p1] = pay[..., :k_eff]
+                m_col[:, p0:p1] = pay[..., k_eff]
+                jump_slot = pay[..., k_eff + 1]
+                first[:, p0:p1] = (jump_slot[..., 0] & 2) > 0
+                jumps[:, p0:p1] = np.packbits(
+                    (jump_slot & 1).astype(np.uint8), axis=-1
+                )
             else:
                 bits[:, p0:p1] = np.asarray(dev)  # blocking download
         pending = nxt
